@@ -1,0 +1,20 @@
+"""Test configuration: force an 8-device virtual CPU mesh before JAX loads.
+
+This is the standard JAX pattern for testing pjit/sharding/collectives without
+TPU hardware (SURVEY.md §4).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(23)  # reference's fixed seed (env.py:38-42)
