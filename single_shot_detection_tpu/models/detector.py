@@ -1,0 +1,174 @@
+"""Detector assembly: extras, shared predictor towers, heads (flax, NHWC).
+
+Functional-parity targets: reference ``detection/detector.py`` (Predictor /
+Detector), ``detection/detector_builder.py:57-137`` (extras/heads specs) and
+``detection/modules/predictors.py`` (SharedConvPredictor).
+
+TPU-first choices:
+  * NHWC throughout — head outputs are already ``[B, H, W, boxes*C]`` so the
+    reference's permute+contiguous (detector.py:55-62) disappears; a single
+    reshape yields ``[B, H*W*boxes, C]`` in exactly the anchor order.
+  * anchors are not generated in the forward pass — they are trace-time
+    constants produced by the builder from static feature-map shapes
+    (see ops/anchors.py), so the jitted program carries them for free.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from single_shot_detection_tpu.models.layers import ConvBn, DepthwiseConvBn
+
+head_kernel_init = nn.initializers.normal(stddev=0.01)
+xavier = nn.initializers.glorot_normal()
+
+
+class ExtraLayer(nn.Module):
+    """One SSD extra-scale block from a spec tuple (parity:
+    detector_builder.py:57-109 ``get_extras``).
+
+    type 'm': 3x3/2 maxpool (channels preserved);
+    type 's': 1x1 reduce to out//2, then 3x3/2 conv to out;
+    type '':  1x1 reduce to out//2, then 3x3 valid conv to out.
+    """
+
+    type: str
+    out_channels: int
+    use_depthwise: bool = False
+    activation: Optional[str] = 'ReLU'
+    axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        common = dict(activation=self.activation, axis_name=self.axis_name,
+                      dtype=self.dtype)
+        if self.type == 'm':
+            return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        if self.type == 's':
+            x = ConvBn(self.out_channels // 2, kernel_size=1, name='reduce',
+                       **common)(x, train)
+            conv_op = DepthwiseConvBn if self.use_depthwise else ConvBn
+            return conv_op(self.out_channels, kernel_size=3, stride=2,
+                           padding=1, name='expand', **common)(x, train)
+        if self.type == '':
+            x = ConvBn(self.out_channels // 2, kernel_size=1, name='reduce',
+                       **common)(x, train)
+            conv_op = DepthwiseConvBn if self.use_depthwise else ConvBn
+            return conv_op(self.out_channels, kernel_size=3, padding=0,
+                           name='expand', **common)(x, train)
+        raise ValueError(f'Unknown layer type: {self.type}')
+
+
+class SharedConvPredictor(nn.Module):
+    """RetinaNet-style conv towers: convs shared across pyramid levels,
+    BatchNorms un-shared per level (parity: predictors.py:8-76)."""
+
+    num_layers: int = 0
+    num_channels: int = 256
+    kernel_size: int = 3
+    use_depthwise: bool = False
+    activation: str = 'ReLU'
+    axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, sources, train: bool = False):
+        from single_shot_detection_tpu.models.layers import ACTIVATIONS
+        act = ACTIVATIONS[self.activation]
+
+        outputs = {}
+        for head in ('score', 'loc'):
+            feats = list(sources)
+            for layer in range(self.num_layers):
+                if self.use_depthwise:
+                    conv = DepthwiseConvBn(self.num_channels,
+                                           kernel_size=self.kernel_size,
+                                           padding=1, use_bias=True,
+                                           use_bn=False, activation=None,
+                                           dtype=self.dtype,
+                                           name=f'{head}_conv{layer}')
+                else:
+                    conv = ConvBn(self.num_channels, kernel_size=self.kernel_size,
+                                  padding=1, use_bias=True, use_bn=False,
+                                  activation=None, dtype=self.dtype,
+                                  name=f'{head}_conv{layer}')
+                new_feats = []
+                for level, f in enumerate(feats):
+                    f = conv(f, train)  # same module -> shared params
+                    f = act(f)
+                    f = nn.BatchNorm(use_running_average=not train,
+                                     momentum=0.9,
+                                     axis_name=self.axis_name if train else None,
+                                     dtype=self.dtype,
+                                     name=f'{head}_norm{layer}_{level}')(f)
+                    new_feats.append(f)
+                feats = new_feats
+            outputs[head] = feats
+        return outputs['score'], outputs['loc']
+
+
+class Detector(nn.Module):
+    """features -> extras -> [predictor towers] -> per-scale heads ->
+    concatenated ``(scores [B, A, C], locs [B, A, 4])``
+    (parity: detector.py:8-96 Predictor/Detector forward).
+    """
+
+    features: nn.Module
+    num_classes: int
+    extras: Sequence[Tuple[str, int]] = ()
+    num_boxes: Sequence[int] = ()
+    use_depthwise: bool = False
+    predictor: Optional[dict] = None
+    score_head_bias_init: float = 0.0
+    axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, return_sources: bool = False):
+        sources, x = self.features(x, train=train)
+        sources = list(sources)
+
+        for i, (type_, out_channels) in enumerate(self.extras):
+            x = ExtraLayer(type_, out_channels, self.use_depthwise,
+                           axis_name=self.axis_name, dtype=self.dtype,
+                           name=f'extra{i}')(x, train)
+            sources.append(x)
+
+        assert len(sources) == len(self.num_boxes), \
+            f'{len(sources)} scales vs {len(self.num_boxes)} anchor generators'
+
+        if self.predictor is not None:
+            pred_kwargs = {k: v for k, v in self.predictor.items()
+                           if k in ('num_layers', 'num_channels', 'kernel_size',
+                                    'activation')}
+            score_sources, loc_sources = SharedConvPredictor(
+                use_depthwise=self.use_depthwise, axis_name=self.axis_name,
+                dtype=self.dtype, name='predictor',
+                **pred_kwargs)(sources, train)
+        else:
+            score_sources = loc_sources = sources
+
+        batch = x.shape[0]
+        scores, locs = [], []
+        for i, (nb, ss, ls) in enumerate(zip(self.num_boxes, score_sources,
+                                             loc_sources)):
+            s = nn.Conv(nb * self.num_classes, (3, 3), padding=((1, 1), (1, 1)),
+                        use_bias=True, kernel_init=head_kernel_init,
+                        bias_init=nn.initializers.constant(self.score_head_bias_init),
+                        dtype=self.dtype, name=f'score_head{i}')(ss)
+            l = nn.Conv(nb * 4, (3, 3), padding=((1, 1), (1, 1)),
+                        use_bias=True, kernel_init=head_kernel_init,
+                        dtype=self.dtype, name=f'loc_head{i}')(ls)
+            # NHWC: [B, H, W, nb*C] -> [B, H*W*nb, C]; matches anchor order
+            scores.append(s.reshape(batch, -1, self.num_classes))
+            locs.append(l.reshape(batch, -1, 4))
+
+        out_scores = jnp.concatenate(scores, axis=1)
+        out_locs = jnp.concatenate(locs, axis=1)
+        if return_sources:
+            return out_scores, out_locs, loc_sources
+        return out_scores, out_locs

@@ -1,0 +1,125 @@
+"""Optimizer factories (optax), matching torch/reference semantics.
+
+Functional-parity target: reference ``bf/training/optimizers.py`` — the torch
+optimizer zoo plus ``AdamW``/``SGDW`` with *decoupled* weight decay applied
+**after** the step as ``p -= wd * p`` (NOT lr-scaled — optimizers.py:71-72,
+116-117).  Plain ``SGD``/``Adam`` use torch's coupled decay
+(``grad += wd * p``).
+
+The optimizer is an optax ``GradientTransformation`` closed over an lr
+schedule; ``lr_groups`` (per-submodule lrs, train_builder.py:12-16) map to an
+``optax.multi_transform`` over path prefixes.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Union
+
+import jax
+import optax
+
+Schedule = Union[float, Callable[[int], float]]
+
+
+def _decay_after(weight_decay: float) -> optax.GradientTransformation:
+    """Post-step decoupled decay: adds ``-wd * p`` to the final updates
+    (parity: optimizers.py:71-72 / :116-117)."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        assert params is not None
+        updates = jax.tree_util.tree_map(lambda u, p: u - weight_decay * p,
+                                         updates, params)
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def sgd(lr: Schedule, momentum: float = 0.0, weight_decay: float = 0.0,
+        nesterov: bool = False, **_) -> optax.GradientTransformation:
+    """torch.optim.SGD semantics: coupled decay before momentum."""
+    parts = []
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    if momentum:
+        parts.append(optax.trace(decay=momentum, nesterov=nesterov))
+    parts.append(optax.scale_by_learning_rate(lr))
+    return optax.chain(*parts)
+
+
+def sgdw(lr: Schedule, momentum: float = 0.0, weight_decay: float = 0.0,
+         nesterov: bool = False, **_) -> optax.GradientTransformation:
+    """Reference SGDW: momentum step, then ``p -= wd * p``."""
+    parts = []
+    if momentum:
+        parts.append(optax.trace(decay=momentum, nesterov=nesterov))
+    parts.append(optax.scale_by_learning_rate(lr))
+    if weight_decay:
+        parts.append(_decay_after(weight_decay))
+    return optax.chain(*parts)
+
+
+def adam(lr: Schedule, betas=(0.9, 0.999), eps: float = 1e-8,
+         weight_decay: float = 0.0, **_) -> optax.GradientTransformation:
+    """torch.optim.Adam semantics: coupled decay."""
+    parts = []
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    parts.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
+    parts.append(optax.scale_by_learning_rate(lr))
+    return optax.chain(*parts)
+
+
+def adamw(lr: Schedule, betas=(0.9, 0.999), eps: float = 1e-8,
+          weight_decay: float = 0.0, **_) -> optax.GradientTransformation:
+    """Reference AdamW: adam step, then ``p -= wd * p``."""
+    parts = [optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps),
+             optax.scale_by_learning_rate(lr)]
+    if weight_decay:
+        parts.append(_decay_after(weight_decay))
+    return optax.chain(*parts)
+
+
+def rmsprop(lr: Schedule, alpha: float = 0.99, eps: float = 1e-8,
+            momentum: float = 0.0, weight_decay: float = 0.0,
+            **_) -> optax.GradientTransformation:
+    parts = []
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    parts.append(optax.scale_by_rms(decay=alpha, eps=eps))
+    if momentum:
+        parts.append(optax.trace(decay=momentum))
+    parts.append(optax.scale_by_learning_rate(lr))
+    return optax.chain(*parts)
+
+
+OPTIMIZERS = {
+    'SGD': sgd,
+    'SGDW': sgdw,
+    'Adam': adam,
+    'AdamW': adamw,
+    'RMSprop': rmsprop,
+}
+
+
+def create_optimizer(optimizer_params: dict,
+                     lr_schedule: Optional[Schedule] = None,
+                     accumulation_steps: int = 1) -> optax.GradientTransformation:
+    """Config-driven optimizer factory (parity: train_builder.py:8-31).
+
+    ``lr_schedule`` (built by schedulers.create_lr_schedule) overrides the
+    static config lr.  ``accumulation_steps > 1`` wraps the transformation in
+    ``optax.MultiSteps`` (parity: trainer accumulation, train.py:66-85).
+    """
+    params = dict(optimizer_params)
+    name = params.pop('name')
+    lr = lr_schedule if lr_schedule is not None else params.pop('lr')
+    params.pop('lr', None)
+    factory = OPTIMIZERS[name]
+    tx = factory(lr, **params)
+    if accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulation_steps)
+    return tx

@@ -1,0 +1,141 @@
+"""The jitted train / eval steps — the framework's hot loop.
+
+Replaces the reference's per-batch choreography (SURVEY.md §3.1): forward,
+CPU target assignment, loss, backward, DDP allreduce, optimizer step and
+mixup (callbacks.py:10-42,149-158 + init.py:101-135) collapse into ONE
+compiled XLA program per phase:
+
+  train_step(state, batch, rng) -> (state, metrics)
+  eval_step(state, batch)       -> (metrics, detections, valid)
+
+Everything — mixup, anchor matching, hard-negative mining, loss, gradients,
+optimizer update, batch-norm stat sync — runs on-chip with static shapes.
+Under a data-sharded mesh, XLA inserts the gradient all-reduce automatically
+(the loss is a scalar over the global batch), so there is no pmean
+choreography to maintain.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from single_shot_detection_tpu.ops.matching import SCORE_INDEX
+
+
+def apply_mixup(rng, images, boxes, box_mask, alpha: float, p: float):
+    """On-device batch mixup (parity: batch_container.py:25-45 ``mixup_``).
+
+    One beta-sampled ``lam`` per batch; each image mixes with a random
+    partner with probability ``p``; GT lists concatenate with lam-scaled
+    score columns (padded slots stay masked).
+    """
+    batch = images.shape[0]
+    k_lam, k_perm, k_roll = jax.random.split(rng, 3)
+    lam = jax.random.beta(k_lam, alpha, alpha)
+    index = jax.random.permutation(k_perm, batch)
+    roll = jax.random.uniform(k_roll, (batch,)) < p
+
+    partner = images[index]
+    mixed = lam * images + (1.0 - lam) * partner
+    images = jnp.where(roll[:, None, None, None], mixed, images)
+
+    own = boxes.at[..., SCORE_INDEX].multiply(
+        jnp.where(roll, lam, 1.0)[:, None])
+    other = boxes[index].at[..., SCORE_INDEX].multiply(1.0 - lam)
+    out_boxes = jnp.concatenate([own, other], axis=1)
+    out_mask = jnp.concatenate(
+        [box_mask, box_mask[index] & roll[:, None]], axis=1)
+    return images, out_boxes, out_mask
+
+
+def make_train_step(module,
+                    criterion,
+                    assigner,
+                    anchors,
+                    tx: optax.GradientTransformation,
+                    mixup: Optional[dict] = None,
+                    donate: bool = True) -> Callable:
+    """Build the jitted train step (parity: init.py:101-135 ``step_fn`` +
+    callbacks optimizer/loss/mixup)."""
+    anchors = jnp.asarray(anchors)
+
+    def train_step(state, batch, rng):
+        images = batch['image']
+        boxes = batch['boxes']
+        box_mask = batch['box_mask']
+
+        if mixup is not None:
+            images, boxes, box_mask = apply_mixup(
+                rng, images, boxes, box_mask, mixup['alpha'], mixup['p'])
+
+        target = assigner(boxes, box_mask, anchors)
+
+        def loss_fn(params):
+            (scores, locs), mutated = module.apply(
+                {'params': params, 'batch_stats': state.batch_stats},
+                images, train=True, mutable=['batch_stats'])
+            loss, class_loss, loc_loss = criterion(
+                scores.astype(jnp.float32), locs.astype(jnp.float32),
+                anchors, target)
+            return loss, (class_loss, loc_loss, mutated['batch_stats'])
+
+        (loss, (class_loss, loc_loss, batch_stats)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(state.params))
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree_util.tree_map(lambda u: u * state.lr_scale, updates)
+        params = optax.apply_updates(state.params, updates)
+
+        new_state = state.replace(step=state.step + 1,
+                                  params=params,
+                                  batch_stats=batch_stats,
+                                  opt_state=opt_state)
+        metrics = {'loss': loss, 'class_loss': class_loss,
+                   'loc_loss': loc_loss}
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(module, criterion, assigner, anchors,
+                   postprocessor) -> Callable:
+    """Build the jitted eval step (parity: eval.py:43-57 + init.py:118-123):
+    forward + loss + batched postprocess, all on-chip."""
+    anchors = jnp.asarray(anchors)
+
+    def eval_step(state, batch):
+        images = batch['image']
+        target = assigner(batch['boxes'], batch['box_mask'], anchors)
+
+        scores, locs = module.apply(
+            {'params': state.params, 'batch_stats': state.batch_stats},
+            images, train=False)
+        scores = scores.astype(jnp.float32)
+        locs = locs.astype(jnp.float32)
+
+        loss, class_loss, loc_loss = criterion(scores, locs, anchors, target)
+        detections, valid = postprocessor(scores, locs, anchors)
+        metrics = {'loss': loss, 'class_loss': class_loss,
+                   'loc_loss': loc_loss}
+        return metrics, detections, valid
+
+    return jax.jit(eval_step)
+
+
+def make_predict_step(module, postprocessor, anchors) -> Callable:
+    """Inference-only step (parity: detector_wrapper.py:49-65
+    ``predict_single``, but batched)."""
+    anchors = jnp.asarray(anchors)
+
+    @jax.jit
+    def predict_step(variables, images):
+        scores, locs = module.apply(variables, images, train=False)
+        return postprocessor(scores.astype(jnp.float32),
+                             locs.astype(jnp.float32), anchors)
+
+    return predict_step

@@ -11,6 +11,12 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
+import jax  # noqa: E402
+
+# The environment's sitecustomize pins JAX_PLATFORMS to the remote TPU plugin;
+# the config-level override wins regardless of import order.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,93 @@
+"""Multi-device data parallelism on the virtual 8-device CPU mesh."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from single_shot_detection_tpu.models import builder
+from single_shot_detection_tpu.ops import losses, matching, sampling
+from single_shot_detection_tpu.ops.box_coder import BoxCoder
+from single_shot_detection_tpu.parallel import (batch_sharding, create_mesh,
+                                                replicated, shard_batch)
+from single_shot_detection_tpu.train import (create_train_state,
+                                             make_train_step, optimizers)
+
+
+IMG = 64
+NUM_CLASSES = 3
+
+
+def test_mesh_has_8_devices():
+    assert jax.device_count() == 8
+    mesh = create_mesh()
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ('data', 'model')
+
+
+def test_data_parallel_train_step_matches_single_device(rng):
+    bundle = builder.build(
+        base={'name': 'mobilenet_v2', 'depth_multiplier': 0.35},
+        anchor_generator={'type': 'ssd', 'num_scales': 1, 'min_scale': 0.3,
+                          'max_scale': 0.9, 'aspect_ratios': [[1.0]]},
+        num_classes=NUM_CLASSES,
+        features={'name': 'Features', 'out_layers': (18,)},
+        input_size=(IMG, IMG))
+    anchors = bundle.anchors()
+    coder = BoxCoder(10.0, 5.0)
+    sampler = functools.partial(sampling.hard_negative_mining,
+                                negative_per_positive_ratio=3,
+                                min_negative_per_image=2)
+    criterion = losses.MultiboxLoss(sampler, coder,
+                                    {'name': 'CrossEntropyLoss'},
+                                    {'name': 'SmoothL1Loss'})
+    assigner = matching.TargetAssigner(0.5)
+    tx = optimizers.create_optimizer({'name': 'SGD', 'lr': 1e-2})
+    variables = bundle.init(jax.random.PRNGKey(0), batch_size=8)
+    state = create_train_state(variables, tx)
+
+    batch_np = {
+        'image': rng.rand(8, IMG, IMG, 3).astype(np.float32),
+        'boxes': np.tile(np.array([10, 10, 40, 40, 1, 1], np.float32),
+                         (8, 2, 1)),
+        'box_mask': np.ones((8, 2), bool),
+    }
+
+    step = make_train_step(bundle.module, criterion, assigner, anchors, tx,
+                           donate=False)
+
+    # single-device run
+    batch1 = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    state1, metrics1 = step(state, batch1, jax.random.PRNGKey(1))
+
+    # 8-way data-parallel run: batch sharded, state replicated
+    mesh = create_mesh()
+    rep = replicated(mesh)
+    state_sh = jax.device_put(state, rep)
+    batch8 = shard_batch(mesh, batch_np)
+    assert batch8['image'].sharding.spec[0] == 'data'
+    state8, metrics8 = step(state_sh, batch8, jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(metrics8['loss']),
+                               float(metrics1['loss']), rtol=1e-4)
+    # parameters after the step agree between the two runs
+    l1 = jax.tree_util.tree_leaves(state1.params)
+    l8 = jax.tree_util.tree_leaves(state8.params)
+    for a, b in zip(l1, l8):
+        # reduction order / top-k tie-breaking differs under sharded layout;
+        # agreement is numerical, not bitwise
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_shard_batch_places_on_data_axis():
+    mesh = create_mesh()
+    batch = {'image': np.zeros((8, 4, 4, 3), np.float32),
+             'boxes': np.zeros((8, 2, 6), np.float32),
+             'box_mask': np.zeros((8, 2), bool)}
+    sharded = shard_batch(mesh, batch)
+    for v in sharded.values():
+        assert v.sharding.spec[0] == 'data'
+    assert batch_sharding(mesh).spec == P('data')
