@@ -1,0 +1,114 @@
+"""CLI entry point / pipeline orchestration.
+
+Functional-parity target: reference ``main.py`` — phases train / eval / test /
+export / embed over a declarative python config.
+
+TPU-era flags replace their CUDA counterparts:
+  --bf16                 replaces --amp/--amp-level (bf16 needs no loss scaling)
+  --num-processes etc.   replace --distributed/--nproc/--master-port
+                         (jax.distributed over ICI/DCN instead of NCCL spawn)
+``--parallel`` is implicit: a single process drives all local devices through
+the sharded jit step.
+"""
+
+import argparse
+import logging
+import sys
+
+
+def get_argparser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--config', default='./config.py',
+                        help='Path to a config file')
+    parser.add_argument('--save-dir', type=str, default='./experiments',
+                        help='Folder where checkpoints are saved')
+    parser.add_argument('--checkpoint', type=str,
+                        help='Checkpoint file/dir to restore from')
+    parser.add_argument('--debug', default=False, action='store_true',
+                        help='Disable checkpoint/log writing, verbose logs')
+    parser.add_argument('--new-checkpoint', default=False, action='store_true',
+                        help='Save to a fresh directory even when resuming')
+    parser.add_argument('--load-weights', default=False, action='store_true',
+                        help='Restore weights only (fresh optimizer state)')
+    parser.add_argument('--cpu', default=False, action='store_true',
+                        help='Force CPU backend')
+    parser.add_argument('--bf16', default=False, action='store_true',
+                        help='bfloat16 compute (TPU-native mixed precision)')
+    parser.add_argument('--phases', nargs='+', default=['train', 'eval'],
+                        choices=['train', 'eval', 'test', 'export', 'embed'],
+                        help='One or multiple runtime phases')
+    parser.add_argument('--video', type=str,
+                        help='Video file or image folder for the test phase')
+    parser.add_argument('--tensorboard', default=False, action='store_true',
+                        help='Log to tensorboard')
+
+    dist = parser.add_argument_group('distributed (multi-host)')
+    dist.add_argument('--coordinator-address', type=str, default=None)
+    dist.add_argument('--num-processes', type=int, default=None)
+    dist.add_argument('--process-id', type=int, default=None)
+    return parser
+
+
+def main(args):
+    logging.basicConfig(
+        level=logging.DEBUG if args.debug else logging.INFO,
+        format='%(message)s', stream=sys.stdout, force=True)
+
+    if args.cpu:
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+
+    from single_shot_detection_tpu.parallel import initialize_distributed
+    initialize_distributed(args.coordinator_address, args.num_processes,
+                           args.process_id)
+
+    import jax
+    process_count = jax.process_count()
+    process_index = jax.process_index()
+
+    from single_shot_detection_tpu.train import checkpoint as ckpt_utils
+    from single_shot_detection_tpu.train.engine import Experiment
+    from single_shot_detection_tpu.utils.config import load_config
+
+    cfg = load_config(args.config, phases=args.phases)
+
+    checkpoint_dir = ckpt_utils.prepare_checkpoint_dir(
+        args.save_dir, args.checkpoint, args.config, args.debug,
+        'train' in args.phases, args.new_checkpoint)
+
+    experiment = Experiment(cfg,
+                            phases=args.phases,
+                            checkpoint_dir=checkpoint_dir,
+                            resume_from=args.checkpoint,
+                            load_weights=args.load_weights,
+                            debug=args.debug,
+                            bf16=args.bf16,
+                            tensorboard=args.tensorboard,
+                            process_count=process_count,
+                            process_index=process_index)
+
+    if 'embed' in args.phases:
+        try:
+            import IPython
+            IPython.embed()
+        except ImportError:
+            import code
+            code.interact(local={'experiment': experiment, 'cfg': cfg})
+        return
+
+    if 'train' in args.phases:
+        experiment.train()
+    elif 'eval' in args.phases:
+        experiment.evaluate()
+
+    if 'test' in args.phases:
+        from single_shot_detection_tpu.utils.video_viewer import VideoViewer
+        VideoViewer(args.video, experiment).run()
+
+    if 'export' in args.phases:
+        from single_shot_detection_tpu.export import export_model
+        export_model(experiment, 'exported/model')
+
+
+if __name__ == '__main__':
+    main(get_argparser().parse_args())

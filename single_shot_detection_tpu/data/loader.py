@@ -1,0 +1,168 @@
+"""Batch loader: host decode/stage -> padded fixed-shape numpy batches.
+
+Replaces the reference's torch DataLoader + worker subprocesses + collate
+(data_builder.py:44-87, batch_container.py): decode and a single staging
+resize happen on host threads; everything else (augmentation, normalization,
+mixup) runs on-device (data/transforms.py).  Variable-length GT becomes a
+padded ``[B, max_gt, R]`` array + validity mask — the fixed-shape contract the
+jitted steps require.
+
+Per-host sharding (``process_count``/``process_index``) replaces
+DistributedSampler (data_builder.py:53-54).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+
+def stage_image(img: np.ndarray, boxes: np.ndarray,
+                size: Tuple[int, int]) -> Tuple[np.ndarray, np.ndarray]:
+    """Resize to the staging size, rescaling + clipping boxes
+    (parity: functional/img.py:8-17 + box.py:8-19)."""
+    h, w = img.shape[:2]
+    new_w, new_h = size
+    if (w, h) != (new_w, new_h):
+        try:
+            import cv2
+            img = cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_LINEAR)
+        except ImportError:
+            from PIL import Image
+            img = np.asarray(Image.fromarray(img).resize((new_w, new_h),
+                                                         Image.BILINEAR))
+        if len(boxes):
+            boxes = boxes.copy()
+            boxes[:, [0, 2]] = np.clip(boxes[:, [0, 2]] * (new_w / w), 0, new_w - 1)
+            boxes[:, [1, 3]] = np.clip(boxes[:, [1, 3]] * (new_h / h), 0, new_h - 1)
+    return img, boxes
+
+
+class Loader:
+    """Iterates padded numpy batches ``{'image', 'boxes', 'box_mask', 'ids'}``.
+
+    ``image`` is staged uint8 ``[B, S, S, 3]``; ``boxes`` ``[B, max_gt, 7]``
+    (difficult column zero-filled when absent); eval keeps the original
+    annotation rows for the mAP metric via ``ids``.
+    """
+
+    def __init__(self,
+                 dataset,
+                 batch_size: int,
+                 staging_size: Tuple[int, int],
+                 shuffle: bool = False,
+                 drop_last: bool = False,
+                 max_gt: int = 100,
+                 seed: int = 23,
+                 num_workers: int = 4,
+                 prefetch: int = 2,
+                 process_count: int = 1,
+                 process_index: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.staging_size = tuple(staging_size)
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.max_gt = max_gt
+        self.seed = seed
+        self.num_workers = max(num_workers, 1)
+        self.prefetch = prefetch
+        self.process_count = process_count
+        self.process_index = process_index
+        self.epoch = 0
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            rng.shuffle(order)
+        # per-host shard (replaces DistributedSampler)
+        return order[self.process_index::self.process_count]
+
+    def __len__(self):
+        n = len(self._indices())
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    steps_per_epoch = property(__len__)
+
+    def _make_batch(self, idxs: np.ndarray, pool: ThreadPoolExecutor) -> dict:
+        s = self.staging_size
+        n = len(idxs)
+
+        def prepare(i):
+            img = self.dataset.load_image(int(i))
+            boxes = self.dataset.boxes(int(i))
+            return stage_image(img, boxes, s)
+
+        results = list(pool.map(prepare, idxs))
+
+        images = np.zeros((self.batch_size, s[1], s[0], 3), np.uint8)
+        boxes = np.zeros((self.batch_size, self.max_gt, 7), np.float32)
+        mask = np.zeros((self.batch_size, self.max_gt), bool)
+        for row, (img, b) in enumerate(results):
+            images[row] = img
+            k = min(len(b), self.max_gt)
+            if k:
+                boxes[row, :k, :b.shape[1]] = b[:k]
+                mask[row, :k] = True
+        ids = np.full((self.batch_size,), -1, np.int64)
+        ids[:n] = idxs
+        return {'image': images, 'boxes': boxes, 'box_mask': mask, 'ids': ids}
+
+    def __iter__(self) -> Iterator[dict]:
+        indices = self._indices()
+        self.epoch += 1
+        n_batches = len(self)
+        batches = [indices[i * self.batch_size:(i + 1) * self.batch_size]
+                   for i in range(n_batches)]
+
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        q: 'queue.Queue' = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def producer():
+            try:
+                for idxs in batches:
+                    q.put(self._make_batch(idxs, pool))
+            finally:
+                q.put(stop)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                yield item
+        finally:
+            pool.shutdown(wait=False)
+
+
+def create_loaders(datasets: dict, batch_size: int, staging_size,
+                   shuffle: bool = False, num_workers: int = 4,
+                   max_gt: int = 100, seed: int = 23,
+                   process_count: int = 1, process_index: int = 0) -> dict:
+    """Per-phase loaders (parity: data_builder.py:44-87 — eval batch x2,
+    drop_last for train)."""
+    loaders = {}
+    for phase, dataset in datasets.items():
+        loaders[phase] = Loader(
+            dataset,
+            batch_size=batch_size * 2 if phase == 'eval' else batch_size,
+            staging_size=staging_size,
+            shuffle=shuffle and phase == 'train',
+            drop_last=phase == 'train',
+            max_gt=max_gt,
+            seed=seed,
+            num_workers=num_workers,
+            process_count=process_count if phase == 'train' else 1,
+            process_index=process_index if phase == 'train' else 0)
+    return loaders

@@ -1,0 +1,475 @@
+"""Fused on-device augmentation pipeline.
+
+Functional-parity target: the reference's CPU numpy/OpenCV transform chain —
+``bf/preprocessing/transforms.py`` + ``functional/img.py`` + ``functional/
+box.py`` (photometric jitter, RandomExpand, OneOf(RandomCrop...),
+flips, Resize, ToFloatTensor, Normalize).
+
+TPU-first re-design: instead of materializing intermediate images per
+transform on the host, all *geometry* composes into a single per-image view
+``window`` (a rect in staged-image coordinates, possibly out of bounds for
+expand) plus a flip flag, and the entire batch is produced by ONE bilinear
+gather with out-of-bounds fill — then photometric + normalize fuse in.
+Rejection sampling (the reference's 50 sequential crop attempts,
+functional/img.py:55-83) becomes 50 *parallel* candidates with a first-accept
+argmax.  Everything is fixed-shape, vmapped over the batch, and jitted.
+
+Box bookkeeping (shift / clip / keep-criterion masks) follows
+functional/box.py:61-97 exactly, with padded ``[G, R]`` arrays + validity
+masks replacing variable-length filtering.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+ATTEMPTS = 50
+
+
+# ---------------------------------------------------------------------------
+# photometric ops (float32 images in [0, 255])
+# ---------------------------------------------------------------------------
+
+def _rgb_to_hsv(rgb):
+    """RGB [0,1] -> HSV with h in [0,1)."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = jnp.max(rgb, axis=-1)
+    minc = jnp.min(rgb, axis=-1)
+    v = maxc
+    delta = maxc - minc
+    s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-12), 0.0)
+    safe = jnp.maximum(delta, 1e-12)
+    rc = (maxc - r) / safe
+    gc = (maxc - g) / safe
+    bc = (maxc - b) / safe
+    h = jnp.where(r == maxc, bc - gc,
+                  jnp.where(g == maxc, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = (h / 6.0) % 1.0
+    h = jnp.where(delta == 0, 0.0, h)
+    return jnp.stack([h, s, v], axis=-1)
+
+
+def _hsv_to_rgb(hsv):
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.choose(i, [v, q, p, p, t, v], mode='clip')
+    g = jnp.choose(i, [t, v, v, q, p, p], mode='clip')
+    b = jnp.choose(i, [p, p, t, v, v, q], mode='clip')
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def adjust_brightness(rng, img, max_delta, p):
+    """img += u(-d, d) * 255 (parity: transforms.py:106-117)."""
+    k1, k2 = jax.random.split(rng)
+    delta = jax.random.uniform(k1, (), minval=-max_delta, maxval=max_delta) * 255.0
+    apply = jax.random.uniform(k2) < p
+    return jnp.clip(img + jnp.where(apply, delta, 0.0), 0.0, 255.0)
+
+
+def adjust_contrast(rng, img, delta_range, p):
+    """mean-anchored scale (parity: transforms.py:119-131)."""
+    k1, k2 = jax.random.split(rng)
+    scale = jax.random.uniform(k1, (), minval=delta_range[0], maxval=delta_range[1])
+    scale = jnp.where(jax.random.uniform(k2) < p, scale, 1.0)
+    mean = jnp.mean(img.reshape(-1, 3), axis=0)
+    return jnp.clip(mean + scale * (img - mean), 0.0, 255.0)
+
+
+def adjust_hue_saturation(rng, img, max_hue_delta, saturation_delta_range, p):
+    """HSV hue shift (wraparound) + saturation scale
+    (parity: transforms.py:133-169)."""
+    k1, k2, k3 = jax.random.split(rng, 3)
+    hsv = _rgb_to_hsv(jnp.clip(img, 0.0, 255.0) / 255.0)
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    if max_hue_delta is not None:
+        delta = jax.random.uniform(k1, (), minval=-max_hue_delta, maxval=max_hue_delta)
+        h = (h + delta) % 1.0
+    if saturation_delta_range is not None:
+        scale = jax.random.uniform(k2, (), minval=saturation_delta_range[0],
+                                   maxval=saturation_delta_range[1])
+        s = jnp.clip(s * scale, 0.0, 1.0)
+    out = _hsv_to_rgb(jnp.stack([h, s, v], axis=-1)) * 255.0
+    apply = jax.random.uniform(k3) < p
+    return jnp.where(apply, out, img)
+
+
+# ---------------------------------------------------------------------------
+# geometric ops on the (window, boxes, mask) state
+# ---------------------------------------------------------------------------
+# State: cur_w, cur_h — size of the virtual current image;
+#        origin (ox, oy) — current-frame (0,0) in staged coords;
+#        boxes [G, R] in current-frame coords; mask [G].
+
+
+def expand_op(rng, state, aspect_ratio_range, area_range, p):
+    """Canvas expansion with mean fill (parity: functional/img.py:85-113).
+
+    Picks the first of 50 parallel candidates with new size >= current.
+    """
+    cur_w, cur_h, ox, oy, boxes, mask = state
+    k_ar, k_area, k_off, k_p = jax.random.split(rng, 4)
+    ar = jax.random.uniform(k_ar, (ATTEMPTS,), minval=aspect_ratio_range[0],
+                            maxval=aspect_ratio_range[1])
+    area = jax.random.uniform(k_area, (ATTEMPTS,), minval=area_range[0],
+                              maxval=area_range[1]) * cur_w * cur_h
+    new_w = jnp.floor(jnp.sqrt(area * ar))
+    new_h = jnp.floor(jnp.sqrt(area / ar))
+    ok = (new_w >= cur_w) & (new_h >= cur_h)
+    idx = jnp.argmax(ok)  # first valid candidate
+    any_ok = jnp.any(ok)
+    apply = (jax.random.uniform(k_p) < p) & any_ok
+    new_w = jnp.where(apply, new_w[idx], cur_w)
+    new_h = jnp.where(apply, new_h[idx], cur_h)
+    u = jax.random.uniform(k_off, (2,))
+    xmin = jnp.floor(u[0] * (new_w - cur_w + 1))
+    ymin = jnp.floor(u[1] * (new_h - cur_h + 1))
+    xmin = jnp.where(apply, xmin, 0.0)
+    ymin = jnp.where(apply, ymin, 0.0)
+
+    boxes = boxes.at[:, 0].add(xmin).at[:, 2].add(xmin)
+    boxes = boxes.at[:, 1].add(ymin).at[:, 3].add(ymin)
+    return (new_w, new_h, ox - xmin, oy - ymin, boxes, mask)
+
+
+def _crop_candidate_accept(boxes, mask, region, min_iou, keep_criterion,
+                           min_objects_kept):
+    """Evaluate one crop candidate (parity: functional/box.py:61-90).
+
+    Returns (accept, keep_mask, clipped_boxes).
+    """
+    b = boxes[:, :4]
+    inter = jnp.concatenate([jnp.maximum(b[:, :2], region[:2]),
+                             jnp.minimum(b[:, 2:], region[2:])], axis=-1)
+    degenerate = (inter[:, 2:] < inter[:, :2]).any(axis=-1)
+    inter = jnp.where(degenerate[:, None], 0.0, inter)
+
+    def area(x):
+        return (jnp.clip(x[:, 2] - x[:, 0], 0, None)
+                * jnp.clip(x[:, 3] - x[:, 1], 0, None))
+
+    ia = area(inter)
+    ua = area(b) + ia - ia  # iou(a, intersection) denominator = area(a)
+    # reference computes iou(original, clipped) elementwise:
+    denom = area(b) + ia - ia * 0  # area(a) + area(inter) - inter(a, inter)
+    # intersection(original, clipped) == clipped, so iou = ia / area(b)
+    iou = jnp.where(area(b) > 0, ia / jnp.maximum(area(b), 1e-12), 0.0)
+    del ua, denom
+
+    has_boxes = jnp.any(mask)
+    max_iou = jnp.max(jnp.where(mask, iou, -1.0))
+
+    if keep_criterion == 'center_point':
+        center = (b[:, :2] + b[:, 2:]) / 2
+        keep = ((center > region[:2]) & (center < region[2:])).all(axis=-1)
+    elif keep_criterion == 'iou':
+        keep = iou > min_iou
+    else:
+        raise ValueError(f'Wrong value for keep_criterion: {keep_criterion}')
+    keep = keep & mask
+
+    accept = jnp.where(has_boxes,
+                       (max_iou > min_iou) & (jnp.sum(keep) >= min_objects_kept),
+                       True)
+    return accept, keep, inter
+
+
+def crop_op(rng, state, min_iou=0.5, aspect_ratio_range=(0.5, 2.0),
+            area_range=(0.1, 1.0), keep_criterion='center_point',
+            min_objects_kept=1, p=0.5):
+    """Rejection-sampled crop as 50 parallel candidates, first accept wins
+    (parity: functional/img.py:55-83 + box.py:61-90)."""
+    cur_w, cur_h, ox, oy, boxes, mask = state
+    k_ar, k_area, k_off, k_p = jax.random.split(rng, 4)
+    ar = jax.random.uniform(k_ar, (ATTEMPTS,), minval=aspect_ratio_range[0],
+                            maxval=aspect_ratio_range[1])
+    area = jax.random.uniform(k_area, (ATTEMPTS,), minval=area_range[0],
+                              maxval=area_range[1]) * cur_w * cur_h
+    new_w = jnp.floor(jnp.sqrt(area * ar))
+    new_h = jnp.floor(jnp.sqrt(area / ar))
+    fits = (new_w <= cur_w) & (new_h <= cur_h) & (new_w >= 1) & (new_h >= 1)
+    u = jax.random.uniform(k_off, (ATTEMPTS, 2))
+    xmin = jnp.floor(u[:, 0] * (cur_w - new_w + 1))
+    ymin = jnp.floor(u[:, 1] * (cur_h - new_h + 1))
+    regions = jnp.stack([xmin, ymin, xmin + new_w - 1, ymin + new_h - 1], axis=-1)
+
+    eval_one = functools.partial(_crop_candidate_accept,
+                                 boxes, mask,
+                                 min_iou=min_iou,
+                                 keep_criterion=keep_criterion,
+                                 min_objects_kept=min_objects_kept)
+    accepts, keeps, inters = jax.vmap(lambda r: eval_one(region=r))(regions)
+    accepts = accepts & fits
+
+    idx = jnp.argmax(accepts)  # first accepted attempt (parity with the loop)
+    apply = jnp.any(accepts) & (jax.random.uniform(k_p) < p)
+
+    sel_region = regions[idx]
+    sel_w, sel_h = new_w[idx], new_h[idx]
+    sel_keep = keeps[idx]
+    sel_boxes = inters[idx]
+
+    # shift into crop frame + clip (box.py:82-88)
+    shifted = jnp.stack([
+        jnp.clip(sel_boxes[:, 0] - sel_region[0], 0, sel_w - 1),
+        jnp.clip(sel_boxes[:, 1] - sel_region[1], 0, sel_h - 1),
+        jnp.clip(sel_boxes[:, 2] - sel_region[0], 0, sel_w - 1),
+        jnp.clip(sel_boxes[:, 3] - sel_region[1], 0, sel_h - 1),
+    ], axis=-1)
+    new_boxes = jnp.where(apply, jnp.concatenate([shifted, boxes[:, 4:]], -1),
+                          boxes)
+    new_mask = jnp.where(apply, sel_keep, mask)
+    out_w = jnp.where(apply, sel_w, cur_w)
+    out_h = jnp.where(apply, sel_h, cur_h)
+    out_ox = jnp.where(apply, ox + sel_region[0], ox)
+    out_oy = jnp.where(apply, oy + sel_region[1], oy)
+    return (out_w, out_h, out_ox, out_oy, new_boxes, new_mask)
+
+
+def hflip_boxes(state, flip):
+    cur_w, cur_h, ox, oy, boxes, mask = state
+    flipped = jnp.stack([cur_w - 1 - boxes[:, 2], boxes[:, 1],
+                         cur_w - 1 - boxes[:, 0], boxes[:, 3]], axis=-1)
+    boxes = jnp.where(flip, jnp.concatenate([flipped, boxes[:, 4:]], -1), boxes)
+    return (cur_w, cur_h, ox, oy, boxes, mask)
+
+
+def vflip_boxes(state, flip):
+    cur_w, cur_h, ox, oy, boxes, mask = state
+    flipped = jnp.stack([boxes[:, 0], cur_h - 1 - boxes[:, 3],
+                         boxes[:, 2], cur_h - 1 - boxes[:, 1]], axis=-1)
+    boxes = jnp.where(flip, jnp.concatenate([flipped, boxes[:, 4:]], -1), boxes)
+    return (cur_w, cur_h, ox, oy, boxes, mask)
+
+
+# ---------------------------------------------------------------------------
+# final gather
+# ---------------------------------------------------------------------------
+
+def sample_view(img, window, out_size, hflip, vflip, fill):
+    """One bilinear gather of ``window`` (staged coords, may be OOB) resized
+    to ``out_size`` — the fusion of expand/crop/flip/resize."""
+    out_w, out_h = out_size
+    wx0, wy0, cur_w, cur_h = window
+    src_h, src_w = img.shape[0], img.shape[1]
+
+    xs = (jnp.arange(out_w) + 0.5) * cur_w / out_w - 0.5
+    ys = (jnp.arange(out_h) + 0.5) * cur_h / out_h - 0.5
+    xs = jnp.where(hflip, (cur_w - 1) - xs, xs)
+    ys = jnp.where(vflip, (cur_h - 1) - ys, ys)
+    sx = wx0 + xs  # [W]
+    sy = wy0 + ys  # [H]
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = (sx - x0)[None, :, None]
+    fy = (sy - y0)[:, None, None]
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+
+    def tap(yi, xi):
+        inb = ((xi >= 0) & (xi < src_w))[None, :] & ((yi >= 0) & (yi < src_h))[:, None]
+        v = img[jnp.clip(yi, 0, src_h - 1)[:, None],
+                jnp.clip(xi, 0, src_w - 1)[None, :]]
+        return jnp.where(inb[..., None], v, fill)
+
+    v00 = tap(y0, x0)
+    v01 = tap(y0, x0 + 1)
+    v10 = tap(y0 + 1, x0)
+    v11 = tap(y0 + 1, x0 + 1)
+    top = v00 * (1 - fx) + v01 * fx
+    bot = v10 * (1 - fx) + v11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+# ---------------------------------------------------------------------------
+# pipeline assembly from reference-schema config lists
+# ---------------------------------------------------------------------------
+
+class Pipeline:
+    """Config-driven batched augmentation+preprocessing
+    (parity: data_builder.py:17-25 ``create_preprocessing``).
+
+    ``__call__(rng, images, boxes, mask)``:
+      images uint8/float ``[B, S, S, 3]`` staged RGB,
+      boxes ``[B, G, R>=4]`` staged pixel coords, mask ``[B, G]``
+    -> normalized float images ``[B, H, W, 3]``, transformed boxes, mask.
+    """
+
+    def __init__(self,
+                 augmentations: Sequence[dict] = (),
+                 preprocessing: Sequence[dict] = (),
+                 input_size: Tuple[int, int] = (300, 300),
+                 train: bool = True):
+        self.input_size = tuple(input_size)
+        self.photometric: List[Tuple[str, Dict[str, Any]]] = []
+        self.geometric: List[Tuple[str, Any]] = []
+        self.divisor = 1.0
+        self.mean = None
+        self.std = None
+
+        specs = list(augmentations) if train else []
+        for spec in specs:
+            name = spec['name']
+            args = dict(spec.get('args', {}))
+            p = args.pop('p', 0.5)
+            if name in ('ToFloat', 'ToUint8', 'Identity'):
+                continue
+            elif name == 'RandomAdjustBrightness':
+                self.photometric.append(('brightness', {
+                    'max_delta': args['max_brightness_delta'], 'p': p}))
+            elif name == 'RandomAdjustContrast':
+                self.photometric.append(('contrast', {
+                    'delta_range': tuple(args['contrast_delta_range']), 'p': p}))
+            elif name == 'RandomAdjustHueSaturation':
+                self.photometric.append(('hue_saturation', {
+                    'max_hue_delta': args.get('max_hue_delta'),
+                    'saturation_delta_range':
+                        tuple(args['saturation_delta_range'])
+                        if args.get('saturation_delta_range') else None,
+                    'p': p}))
+            elif name == 'RandomExpand':
+                self.geometric.append(('expand', {
+                    'aspect_ratio_range': tuple(args.get('aspect_ratio_range', (0.5, 2.0))),
+                    'area_range': tuple(args.get('area_range', (1.0, 16.0))),
+                    'p': p}))
+            elif name == 'RandomCrop':
+                self.geometric.append(('oneof', [('crop', _crop_args(args, p))]))
+            elif name == 'OneOf':
+                branches = []
+                for sub in args['transforms']:
+                    sub_args = dict(sub.get('args', {}))
+                    sub_p = sub_args.pop('p', 0.5)
+                    if sub['name'] == 'Identity':
+                        branches.append(('identity', {}))
+                    elif sub['name'] == 'RandomCrop':
+                        branches.append(('crop', _crop_args(sub_args, sub_p)))
+                    else:
+                        raise NotImplementedError(
+                            f'OneOf over {sub["name"]} not supported on-device')
+                self.geometric.append(('oneof', branches))
+            elif name == 'RandomHorizontalFlip':
+                self.geometric.append(('hflip', {'p': p}))
+            elif name == 'RandomVerticalFlip':
+                self.geometric.append(('vflip', {'p': p}))
+            else:
+                raise NotImplementedError(f'Unsupported augmentation: {name}')
+
+        for spec in preprocessing:
+            name = spec['name']
+            args = dict(spec.get('args', {}))
+            if name == 'ToFloatTensor':
+                if args.get('normalize', False):
+                    self.divisor = 255.0
+            elif name == 'Normalize':
+                self.mean = tuple(args['mean'])
+                self.std = tuple(args['std'])
+            elif name == 'Resize':
+                self.input_size = tuple(args['size'])
+            else:
+                raise NotImplementedError(f'Unsupported preprocessing: {name}')
+
+        self._jitted = jax.jit(self._run_batch)
+
+    def _run_one(self, rng, img, boxes, mask):
+        img = img.astype(jnp.float32)
+        keys = jax.random.split(rng, len(self.photometric) + len(self.geometric) + 2)
+        ki = 0
+
+        # photometric first (reference config order puts them before geometry)
+        for kind, kw in self.photometric:
+            key = keys[ki]; ki += 1
+            if kind == 'brightness':
+                img = adjust_brightness(key, img, kw['max_delta'], kw['p'])
+            elif kind == 'contrast':
+                img = adjust_contrast(key, img, kw['delta_range'], kw['p'])
+            else:
+                img = adjust_hue_saturation(key, img, kw['max_hue_delta'],
+                                            kw['saturation_delta_range'], kw['p'])
+
+        fill = jnp.mean(img, axis=(0, 1))  # expand fill (functional/img.py:105)
+
+        src_h, src_w = img.shape[0], img.shape[1]
+        state = (jnp.float32(src_w), jnp.float32(src_h),
+                 jnp.float32(0.0), jnp.float32(0.0), boxes, mask)
+        hflip = jnp.bool_(False)
+        vflip = jnp.bool_(False)
+
+        for kind, kw in self.geometric:
+            key = keys[ki]; ki += 1
+            if kind == 'expand':
+                state = expand_op(key, state, kw['aspect_ratio_range'],
+                                  kw['area_range'], kw['p'])
+            elif kind == 'oneof':
+                k_pick, k_op = jax.random.split(key)
+                pick = jax.random.randint(k_pick, (), 0, len(kw))
+                results = []
+                for branch_kind, branch_kw in kw:
+                    if branch_kind == 'identity':
+                        results.append(state)
+                    else:
+                        results.append(crop_op(k_op, state, **branch_kw))
+                state = jax.tree_util.tree_map(
+                    lambda *xs: jnp.select(
+                        [pick == i for i in range(len(xs))], list(xs)),
+                    *results)
+            elif kind == 'hflip':
+                do = jax.random.uniform(key) < kw['p']
+                hflip = hflip ^ do
+                state = hflip_boxes(state, do)
+            elif kind == 'vflip':
+                do = jax.random.uniform(key) < kw['p']
+                vflip = vflip ^ do
+                state = vflip_boxes(state, do)
+
+        cur_w, cur_h, ox, oy, boxes, mask = state
+        out_w, out_h = self.input_size
+
+        out = sample_view(img, (ox, oy, cur_w, cur_h), (out_w, out_h),
+                          hflip, vflip, fill)
+
+        # box resize to output frame + clip (functional/box.py:8-19)
+        sx = out_w / cur_w
+        sy = out_h / cur_h
+        resized = jnp.stack([
+            jnp.clip(boxes[:, 0] * sx, 0, out_w - 1),
+            jnp.clip(boxes[:, 1] * sy, 0, out_h - 1),
+            jnp.clip(boxes[:, 2] * sx, 0, out_w - 1),
+            jnp.clip(boxes[:, 3] * sy, 0, out_h - 1),
+        ], axis=-1)
+        boxes = jnp.concatenate([resized, boxes[:, 4:]], axis=-1)
+
+        # degenerate boxes are dropped (detection_dataset.py:31-33)
+        degenerate = ((boxes[:, 0] == boxes[:, 2]) | (boxes[:, 1] == boxes[:, 3]))
+        mask = mask & ~degenerate
+
+        out = out / self.divisor
+        if self.mean is not None:
+            out = (out - jnp.asarray(self.mean)) / jnp.asarray(self.std)
+        return out, boxes, mask
+
+    def _run_batch(self, rng, images, boxes, mask):
+        keys = jax.random.split(rng, images.shape[0])
+        return jax.vmap(self._run_one)(keys, images, boxes, mask)
+
+    def __call__(self, rng, images, boxes, mask):
+        return self._jitted(rng, images, boxes, mask)
+
+
+def _crop_args(args: dict, p: float) -> dict:
+    return {
+        'min_iou': args.get('min_iou', 0.5),
+        'aspect_ratio_range': tuple(args.get('aspect_ratio_range', (0.5, 2.0))),
+        'area_range': tuple(args.get('area_range', (0.1, 1.0))),
+        'keep_criterion': args.get('keep_criterion', 'center_point'),
+        'min_objects_kept': args.get('min_objects_kept', 1),
+        'p': p,
+    }

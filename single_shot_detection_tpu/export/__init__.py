@@ -1,0 +1,79 @@
+"""Model export.
+
+Functional-parity targets: reference ``bf/utils/onnx_exporter.py`` /
+``jit_exporter.py`` / ``detector_wrapper.py:8-47`` (TorchScript trace with
+baked anchors + scripted decode).
+
+TPU-native equivalent: ``jax.export`` serializes the jitted inference
+function — forward + softmax scores + box decode with anchors baked in as
+constants — to a portable StableHLO artifact.  (The OpenVINO ``mo`` path,
+mo_exporter.py, is CUDA-ecosystem-specific and out of scope per SURVEY §2.9.)
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def make_inference_fn(experiment, with_postprocess: bool = False):
+    """Build the standalone inference function.
+
+    Default (parity with onnx export, detector.py:68-72): returns softmaxed
+    scores + decoded corner boxes.  ``with_postprocess=True`` additionally
+    bakes NMS in (engine-side NMS, the mo_add_output analog).
+    """
+    module = experiment.bundle.module
+    anchors = jnp.asarray(experiment.anchors)
+    coder = experiment.box_coder
+    postprocessor = experiment.postprocessor
+
+    def infer(variables, images):
+        scores, locs = module.apply(variables, images, train=False)
+        scores = scores.astype(jnp.float32)
+        locs = locs.astype(jnp.float32)
+        if with_postprocess:
+            return postprocessor(scores, locs, anchors)
+        from single_shot_detection_tpu.ops import boxes as box_ops
+        probs = jax.nn.softmax(scores, axis=-1)
+        decoded = box_ops.to_corners(coder.decode(locs, anchors))
+        return probs, decoded
+
+    return infer
+
+
+def export_model(experiment, path: str, with_postprocess: bool = False,
+                 batch_size: int = 1):
+    """Serialize the inference function to StableHLO bytes at ``path``.
+
+    Parity: main.py:128 export phase -> exported/model.onnx; here the
+    artifact is ``<path>.stablehlo`` loadable via ``jax.export.deserialize``.
+    """
+    os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
+    infer = make_inference_fn(experiment, with_postprocess)
+    variables = {'params': experiment.state.params,
+                 'batch_stats': experiment.state.batch_stats}
+    w, h = experiment.input_size
+    images = jnp.zeros((batch_size, h, w, 3), jnp.float32)
+
+    from jax import export as jax_export
+    exported = jax_export.export(jax.jit(infer))(variables, images)
+    blob = exported.serialize()
+    out_path = path + '.stablehlo'
+    with open(out_path, 'wb') as f:
+        f.write(blob)
+    logging.info(f'>> Exported StableHLO model to {out_path} '
+                 f'({len(blob)} bytes)')
+    return out_path
+
+
+def load_exported(path: str):
+    """Deserialize an exported model; returns a callable."""
+    from jax import export as jax_export
+    with open(path, 'rb') as f:
+        exported = jax_export.deserialize(bytearray(f.read()))
+    return exported.call

@@ -1,0 +1,101 @@
+"""Checkpoint save / resume.
+
+Functional-parity target: reference ``bf/training/helpers.py:18-84`` —
+step-numbered checkpoints in a timestamped directory, latest-checkpoint
+resolution, ``--new-checkpoint`` / ``--load-weights`` semantics, and a config
+copy next to the checkpoints for reproducibility.
+
+TPU-first: the state is a pytree ({params, batch_stats, opt_state, step,
+lr_scale}) serialized with flax msgpack — there is no pickled-model variant
+(incompatible with functional JAX; the reference's ``model`` pickle has no
+analog here, ``--load-weights`` behavior is the default).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import logging
+import os
+import re
+import shutil
+from typing import Optional, Tuple
+
+import jax
+from flax import serialization
+
+_CKPT_RE = re.compile(r'^ckpt-([0-9]+)\.msgpack$')
+
+
+def find_latest(checkpoint_path: str) -> Optional[str]:
+    """Resolve a file or the max-numbered ckpt in a directory
+    (parity: helpers.py:18-27)."""
+    if os.path.isfile(checkpoint_path):
+        return checkpoint_path
+    if os.path.isdir(checkpoint_path):
+        best = None
+        for name in os.listdir(checkpoint_path):
+            m = _CKPT_RE.match(name)
+            if m and (best is None or int(m[1]) > best[1]):
+                best = (name, int(m[1]))
+        if best:
+            return os.path.join(checkpoint_path, best[0])
+    return None
+
+
+def save(checkpoint_dir: str, state, epoch: int) -> str:
+    """Write ckpt-{step}.msgpack + sidecar counters
+    (parity: callbacks.py:68-73)."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    step = int(jax.device_get(state.step))
+    path = os.path.join(checkpoint_dir, f'ckpt-{step}.msgpack')
+    with open(path, 'wb') as f:
+        f.write(serialization.to_bytes(state))
+    with open(path + '.meta.json', 'w') as f:
+        json.dump({'epoch': epoch, 'global_step': step}, f)
+    logging.info(f'>> Saved checkpoint {path}')
+    return path
+
+
+def restore(path: str, template_state) -> Tuple[object, dict]:
+    """Restore a state pytree into the template's structure; returns
+    (state, meta) (parity: helpers.py:44-66)."""
+    with open(path, 'rb') as f:
+        state = serialization.from_bytes(template_state, f.read())
+    meta = {'epoch': 0, 'global_step': int(jax.device_get(state.step))}
+    meta_path = path + '.meta.json'
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta.update(json.load(f))
+    logging.info(f'>> Restored checkpoint {path} (epoch {meta["epoch"]}, '
+                 f'step {meta["global_step"]})')
+    return state, meta
+
+
+def restore_weights_only(path: str, template_state):
+    """--load-weights: restore params/batch_stats, keep fresh optimizer
+    (parity: helpers.py:56-59)."""
+    state, _ = restore(path, template_state)
+    return template_state.replace(params=state.params,
+                                  batch_stats=state.batch_stats)
+
+
+def prepare_checkpoint_dir(save_dir: str, checkpoint: Optional[str],
+                           config_path: Optional[str], debug: bool,
+                           train: bool, new_checkpoint: bool = False) -> str:
+    """Pick/create the checkpoint dir + copy the config into it
+    (parity: helpers.py:68-84)."""
+    if checkpoint and os.path.isdir(checkpoint) and not new_checkpoint:
+        checkpoint_dir = checkpoint
+    else:
+        stamp = f'{datetime.datetime.today():%F-%H%M%S}'
+        checkpoint_dir = os.path.join(save_dir, stamp)
+
+    if not debug and train:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        logging.info(f'>> Checkpoints will be saved to {checkpoint_dir}')
+        if config_path and os.path.exists(config_path):
+            dest = os.path.join(checkpoint_dir, 'config.py')
+            if not os.path.exists(dest) or not os.path.samefile(config_path, dest):
+                shutil.copy(config_path, dest)
+    return checkpoint_dir

@@ -1,0 +1,368 @@
+"""Experiment wiring + training/eval loops.
+
+Functional-parity targets: reference ``detection/init.py`` (component
+assembly), ``bf/train.py`` (Trainer), ``bf/eval.py`` (Evaluator) and the
+callback choreography in ``main.py:80-117`` / ``bf/training/callbacks.py``
+(optimizer, loss, progress, checkpoint, csv_logger, tensorboard, scheduler,
+to_device, mixup).
+
+TPU-first: the event-emitter + 9 callbacks collapse into a plain loop around
+ONE jitted train step; device transfer, optimizer stepping, loss backward and
+mixup live inside the compiled program.  The host loop only feeds batches,
+logs, checkpoints, and drives the eval metric.
+"""
+
+from __future__ import annotations
+
+import csv as csv_module
+import functools
+import logging
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from single_shot_detection_tpu.data.datasets import DATASETS
+from single_shot_detection_tpu.data.loader import create_loaders
+from single_shot_detection_tpu.data.transforms import Pipeline
+from single_shot_detection_tpu.models import builder as model_builder
+from single_shot_detection_tpu.ops import metrics as metrics_ops
+from single_shot_detection_tpu.ops.box_coder import BoxCoder
+from single_shot_detection_tpu.ops.losses import MultiboxLoss
+from single_shot_detection_tpu.ops.matching import TargetAssigner
+from single_shot_detection_tpu.ops.postprocess import Postprocessor
+from single_shot_detection_tpu.ops.sampling import build_sampler
+from single_shot_detection_tpu.train import checkpoint as ckpt
+from single_shot_detection_tpu.train import optimizers, schedulers
+from single_shot_detection_tpu.train.state import create_train_state
+from single_shot_detection_tpu.train.step import (make_eval_step,
+                                                  make_predict_step,
+                                                  make_train_step)
+from single_shot_detection_tpu.utils.misc import filter_kwargs
+
+
+def create_datasets(dataset_cfg: dict, phases) -> dict:
+    """Config-driven dataset factory (parity: data_builder.py:27-42)."""
+    out = {}
+    labels = dataset_cfg.get('labels')
+    label_map = dataset_cfg.get('label_map', {})
+    for phase in ('train', 'eval'):
+        if phase not in dataset_cfg or phase not in phases:
+            continue
+        spec = dict(dataset_cfg[phase])
+        name = spec.pop('name')
+        spec.update({'labels': labels, 'label_map': label_map})
+        out[phase] = filter_kwargs(DATASETS[name])(**spec)
+    return out
+
+
+class Experiment:
+    """Everything assembled from one config (parity: init.py:19-137 +
+    main.py wiring)."""
+
+    def __init__(self, cfg, phases=('train', 'eval'),
+                 checkpoint_dir: Optional[str] = None,
+                 resume_from: Optional[str] = None,
+                 load_weights: bool = False,
+                 debug: bool = False,
+                 bf16: bool = False,
+                 tensorboard: bool = False,
+                 seed: Optional[int] = None,
+                 process_count: int = 1,
+                 process_index: int = 0):
+        self.cfg = cfg
+        self.phases = list(phases)
+        self.debug = debug
+        self.checkpoint_dir = checkpoint_dir
+        self.tensorboard = tensorboard and not debug
+        self.process_index = process_index
+
+        self.seed = seed if seed is not None else (cfg.seed or 23)
+        self.rng = jax.random.PRNGKey(self.seed)
+
+        dtype = jnp.bfloat16 if bf16 else jnp.float32
+        input_size = tuple(cfg.input_size)
+        self.input_size = input_size
+
+        # --- datasets & loaders -----------------------------------------
+        self.datasets = create_datasets(cfg.dataset, self.phases)
+
+        model_cfg = dict(cfg.model)
+        detector_cfg = dict(model_cfg.get('detector', {}))
+        if 'num_classes' not in detector_cfg and self.datasets:
+            ref = self.datasets.get('train') or self.datasets.get('eval')
+            detector_cfg['num_classes'] = ref.num_classes
+
+        self.loaders = {}
+        if self.datasets:
+            train_cfg = dict(cfg.train) if cfg.train else {}
+            self.loaders = create_loaders(
+                self.datasets,
+                batch_size=cfg.batch_size or 32,
+                staging_size=input_size,
+                shuffle=bool(cfg.shuffle),
+                num_workers=cfg.num_workers or 4,
+                max_gt=(train_cfg.get('max_gt', 100)),
+                seed=self.seed,
+                process_count=process_count,
+                process_index=process_index)
+
+        # --- pipelines ----------------------------------------------------
+        self.train_pipeline = Pipeline(cfg.augmentations, cfg.preprocessing,
+                                       input_size, train=True)
+        self.eval_pipeline = Pipeline((), cfg.preprocessing, input_size,
+                                      train=False)
+
+        # --- model ----------------------------------------------------------
+        self.bundle = model_builder.build(
+            base=model_cfg['base'],
+            anchor_generator=model_cfg['anchor_generator'],
+            input_size=input_size,
+            dtype=dtype,
+            **{k: v for k, v in detector_cfg.items()
+               if k in ('num_classes', 'use_depthwise', 'features', 'extras',
+                        'predictor', 'heads')})
+        self.anchors = self.bundle.anchors()
+        self.num_classes = self.bundle.num_classes
+
+        # --- detection math --------------------------------------------------
+        sampler_cfg = dict(cfg.sampler or {'name': 'naive_sampler'})
+        sampler = build_sampler(sampler_cfg.pop('name'), **sampler_cfg)
+        self.box_coder = filter_kwargs(BoxCoder)(**(cfg.box_coder or {}))
+        self.criterion = filter_kwargs(MultiboxLoss)(
+            sampler=sampler, box_coder=self.box_coder, **cfg.loss)
+        self.assigner = filter_kwargs(TargetAssigner)(**(cfg.target_assigner or {}))
+        self.postprocessor = filter_kwargs(Postprocessor)(
+            box_coder=self.box_coder, **cfg.postprocess)
+
+        # --- optimizer / schedule -------------------------------------------
+        train_cfg = dict(cfg.train) if cfg.train else {}
+        self.epochs = int(train_cfg.get('epochs', 1))
+        self.eval_every = int(train_cfg.get('eval_every', 1))
+        self.save_every = int(train_cfg.get('save_every',
+                                            train_cfg.get('eval_every', 1)))
+        self.accumulation_steps = int(train_cfg.get('accumulation_steps', 1))
+        self.num_batches_per_epoch = train_cfg.get('num_batches_per_epoch')
+
+        steps_per_epoch = 1
+        if 'train' in self.loaders:
+            steps_per_epoch = (self.num_batches_per_epoch
+                               or len(self.loaders['train']))
+            cfg.update({
+                'epochs': self.epochs,
+                'total_train_steps':
+                    steps_per_epoch * self.epochs // self.accumulation_steps,
+            })
+            train_cfg = dict(cfg.train)  # re-read after interpolation
+
+        opt_cfg = dict(train_cfg.get('optimizer', {'name': 'SGD', 'lr': 1e-3}))
+        base_lr = opt_cfg.get('lr', 1e-3)
+        self.lr_schedule, self.plateau, self.scheduler_metric = (
+            schedulers.create_lr_schedule(train_cfg.get('scheduler'), base_lr,
+                                          steps_per_epoch // self.accumulation_steps
+                                          if self.accumulation_steps > 1
+                                          else steps_per_epoch))
+        self.tx = optimizers.create_optimizer(
+            opt_cfg, lr_schedule=self.lr_schedule,
+            accumulation_steps=self.accumulation_steps)
+
+        # --- state -----------------------------------------------------------
+        variables = self.bundle.init(
+            jax.random.fold_in(self.rng, 17),
+            batch_size=1)
+        self.state = create_train_state(variables, self.tx)
+        self.start_epoch = 0
+
+        weight_file = detector_cfg.get('weight')
+        if weight_file:
+            self.state = ckpt.restore_weights_only(weight_file, self.state)
+        if resume_from:
+            path = ckpt.find_latest(resume_from)
+            if path:
+                if load_weights:
+                    self.state = ckpt.restore_weights_only(path, self.state)
+                else:
+                    self.state, meta = ckpt.restore(path, self.state)
+                    self.start_epoch = meta['epoch'] + 1
+            else:
+                logging.warning(f'WW no checkpoint found under {resume_from}')
+
+        # --- steps ------------------------------------------------------------
+        self.train_step = make_train_step(
+            self.bundle.module, self.criterion, self.assigner, self.anchors,
+            self.tx, mixup=train_cfg.get('mixup'))
+        self.eval_step = make_eval_step(
+            self.bundle.module, self.criterion, self.assigner, self.anchors,
+            self.postprocessor)
+        self.predict_step = make_predict_step(
+            self.bundle.module, self.postprocessor, self.anchors)
+
+        self._writer = None
+        if self.tensorboard and self.checkpoint_dir:
+            try:
+                from tensorboardX import SummaryWriter
+                self._writer = SummaryWriter(self.checkpoint_dir)
+            except ImportError:
+                logging.warning('WW tensorboardX unavailable')
+
+    # ------------------------------------------------------------------ train
+    def train(self):
+        loader = self.loaders['train']
+        num_batches = self.num_batches_per_epoch or len(loader)
+        epoch_rows = []
+        csv_path = (os.path.join(self.checkpoint_dir, 'log.csv')
+                    if self.checkpoint_dir and not self.debug else None)
+
+        for epoch in range(self.start_epoch, self.epochs):
+            logging.info(f'Epoch: {epoch}/{self.epochs - 1}')
+            start = time.time()
+            sums = {'loss': 0.0, 'class_loss': 0.0, 'loc_loss': 0.0}
+            count = 0
+
+            for step, batch in enumerate(loader):
+                if step >= num_batches:
+                    break
+                device_batch = self._augment(batch, train=True,
+                                             salt=epoch * num_batches + step)
+                self.state, metrics = self.train_step(
+                    self.state, device_batch,
+                    jax.random.fold_in(self.rng, epoch * num_batches + step))
+                count += 1
+                if step % 10 == 0 or step == num_batches - 1:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    for k in sums:
+                        sums[k] += m[k]
+                    lr = float(self.lr_schedule(int(jax.device_get(
+                        self.state.step)))) * float(self.state.lr_scale)
+                    if self.process_index == 0:
+                        print(f'\r[train] epoch {epoch} step {step + 1}/'
+                              f'{num_batches} loss {m["loss"]:.4f} '
+                              f'(cls {m["class_loss"]:.4f} loc '
+                              f'{m["loc_loss"]:.4f}) lr {lr:.6f}',
+                              end='', flush=True)
+
+            elapsed = time.time() - start
+            denom = max(count // 10, 1)
+            row = {'epoch': epoch,
+                   'train_loss': sums['loss'] / denom,
+                   'train_class_loss': sums['class_loss'] / denom,
+                   'train_loc_loss': sums['loc_loss'] / denom}
+            logging.info(f'\n[train] finished in {elapsed // 60:.0f}m '
+                         f'{elapsed % 60:.0f}s '
+                         f'({num_batches * loader.batch_size / max(elapsed, 1e-9):.1f} img/s)')
+            if self._writer:
+                for k, v in row.items():
+                    if k != 'epoch':
+                        self._writer.add_scalar(f'train/{k}', v, epoch)
+
+            if 'eval' in self.phases and (epoch + 1) % self.eval_every == 0:
+                eval_metrics = self.evaluate()
+                row.update({f'eval_{k}': v for k, v in eval_metrics.items()})
+                if self.plateau is not None:
+                    metric_key = self.scheduler_metric or 'eval_loss'
+                    value = row.get(metric_key)
+                    if value is not None:
+                        scale = self.plateau.update(value)
+                        self.state = self.state.replace(
+                            lr_scale=jnp.asarray(scale, jnp.float32))
+                if self._writer:
+                    for k, v in eval_metrics.items():
+                        self._writer.add_scalar(f'eval/{k}', v, epoch)
+
+            epoch_rows.append(row)
+            if csv_path:
+                self._write_csv(csv_path, epoch_rows)
+            if (self.checkpoint_dir and not self.debug
+                    and (epoch + 1) % self.save_every == 0
+                    and self.process_index == 0):
+                ckpt.save(self.checkpoint_dir, self.state, epoch)
+
+        return epoch_rows
+
+    # ------------------------------------------------------------------- eval
+    def evaluate(self) -> dict:
+        loader = self.loaders['eval']
+        start = time.time()
+        all_preds = []
+        all_gts = []
+        sums = {'loss': 0.0, 'class_loss': 0.0, 'loc_loss': 0.0}
+        count = 0
+        image_offset = 0
+
+        for batch in loader:
+            device_batch = self._augment(batch, train=False, salt=0)
+            metrics, dets, valid = self.eval_step(self.state, device_batch)
+            count += 1
+            for k in sums:
+                sums[k] += float(metrics[k])
+
+            dets = np.asarray(jax.device_get(dets))
+            valid = np.asarray(jax.device_get(valid))
+            mask = np.asarray(jax.device_get(device_batch['box_mask']))
+            ids = batch['ids']
+            for i in range(dets.shape[0]):
+                if ids[i] < 0:
+                    continue  # padding rows of the last partial batch
+                d = dets[i][valid[i]]
+                for row in d:
+                    all_preds.append([image_offset, *row])
+                # host-side boxes carry the difficult column for the metric
+                all_gts.append(batch['boxes'][i][mask[i]])
+                image_offset += 1
+
+        result = {k: v / max(count, 1) for k, v in sums.items()}
+        if all_gts:
+            result['mAP'] = metrics_ops.mean_average_precision(
+                np.asarray(all_preds) if all_preds else np.zeros((0, 7)),
+                all_gts,
+                {i: label for i, label in
+                 enumerate(self.datasets['eval'].class_labels)},
+                iou_threshold=0.5,
+                voc=self.cfg.is_voc('eval'),
+                verbose=self.process_index == 0)
+        elapsed = time.time() - start
+        logging.info(f'[eval] finished in {elapsed // 60:.0f}m '
+                     f'{elapsed % 60:.0f}s: ' +
+                     ' '.join(f'{k}={v:.4f}' for k, v in result.items()))
+        return result
+
+    # ---------------------------------------------------------------- helpers
+    def _augment(self, batch: dict, train: bool, salt: int) -> dict:
+        pipeline = self.train_pipeline if train else self.eval_pipeline
+        key = jax.random.fold_in(jax.random.fold_in(self.rng, 91), salt)
+        images, boxes, mask = pipeline(key, batch['image'],
+                                       batch['boxes'], batch['box_mask'])
+        return {'image': images, 'boxes': boxes[..., :6], 'box_mask': mask}
+
+    def predict(self, image: np.ndarray):
+        """Single-image inference (parity: detector_wrapper.py:49-65):
+        resize -> normalize -> forward -> postprocess -> rescale to source."""
+        from single_shot_detection_tpu.data.loader import stage_image
+        h, w = image.shape[:2]
+        staged, _ = stage_image(image, np.zeros((0, 6), np.float32),
+                                self.input_size)
+        img, _, _ = self.eval_pipeline(
+            self.rng, staged[None], np.zeros((1, 1, 7), np.float32),
+            np.zeros((1, 1), bool))
+        variables = {'params': self.state.params,
+                     'batch_stats': self.state.batch_stats}
+        dets, valid = self.predict_step(variables, img)
+        dets = np.asarray(dets[0][np.asarray(valid[0])])
+        dets[:, [0, 2]] *= w / self.input_size[0]
+        dets[:, [1, 3]] *= h / self.input_size[1]
+        return dets
+
+    @staticmethod
+    def _write_csv(path: str, rows):
+        """Cumulative log.csv rewritten per epoch with the union of keys
+        (parity: callbacks.py:75-100)."""
+        keys = sorted({k for row in rows for k in row},
+                      key=lambda k: (k != 'epoch', k))
+        with open(path, 'w', newline='') as f:
+            writer = csv_module.DictWriter(f, fieldnames=keys)
+            writer.writeheader()
+            for row in rows:
+                writer.writerow(row)

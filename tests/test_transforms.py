@@ -1,0 +1,168 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from single_shot_detection_tpu.data.transforms import (Pipeline, _hsv_to_rgb,
+                                                       _rgb_to_hsv,
+                                                       adjust_brightness,
+                                                       adjust_contrast,
+                                                       crop_op, expand_op,
+                                                       hflip_boxes,
+                                                       sample_view)
+
+
+PREPROCESSING = [
+    {'name': 'ToFloatTensor', 'args': {'normalize': True}},
+    {'name': 'Normalize', 'args': {'mean': [0.485, 0.456, 0.406],
+                                   'std': [0.229, 0.224, 0.225]}},
+]
+
+
+def test_identity_pipeline_is_normalize(rng):
+    pipe = Pipeline(augmentations=[], preprocessing=PREPROCESSING,
+                    input_size=(32, 32), train=False)
+    img = rng.randint(0, 256, (2, 32, 32, 3)).astype(np.uint8)
+    boxes = np.zeros((2, 3, 7), np.float32)
+    boxes[:, 0] = [2, 3, 10, 12, 1, 1, 0]
+    mask = np.zeros((2, 3), bool)
+    mask[:, 0] = True
+    out, out_boxes, out_mask = pipe(jax.random.PRNGKey(0),
+                                    jnp.asarray(img), jnp.asarray(boxes),
+                                    jnp.asarray(mask))
+    expected = (img.astype(np.float32) / 255.0 -
+                np.array([0.485, 0.456, 0.406])) / np.array([0.229, 0.224, 0.225])
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_boxes)[:, 0, :4], boxes[:, 0, :4],
+                               atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out_mask), mask)
+
+
+def test_hsv_roundtrip(rng):
+    rgb = jnp.asarray(rng.rand(16, 16, 3).astype(np.float32))
+    back = _hsv_to_rgb(_rgb_to_hsv(rgb))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(rgb),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_brightness_and_contrast_bounds(rng):
+    img = jnp.asarray(rng.rand(8, 8, 3).astype(np.float32) * 255)
+    out = adjust_brightness(jax.random.PRNGKey(0), img, 0.5, p=1.0)
+    assert float(out.min()) >= 0 and float(out.max()) <= 255
+    out = adjust_contrast(jax.random.PRNGKey(1), img, (0.5, 1.5), p=1.0)
+    assert float(out.min()) >= 0 and float(out.max()) <= 255
+
+
+def test_hflip_boxes_reference_semantics():
+    # reference: x0', x2' = w-1-x2, w-1-x0 (functional/box.py:21-24)
+    state = (jnp.float32(100), jnp.float32(50), jnp.float32(0), jnp.float32(0),
+             jnp.asarray([[10.0, 5, 30, 25, 1, 1, 0]]), jnp.asarray([True]))
+    _, _, _, _, boxes, _ = hflip_boxes(state, jnp.bool_(True))
+    np.testing.assert_allclose(np.asarray(boxes)[0, :4], [69, 5, 89, 25])
+
+
+def test_expand_op_grows_and_offsets_boxes():
+    boxes = jnp.asarray([[10.0, 10, 30, 30, 1, 1, 0]])
+    state = (jnp.float32(100), jnp.float32(100), jnp.float32(0), jnp.float32(0),
+             boxes, jnp.asarray([True]))
+    w, h, ox, oy, out_boxes, _ = expand_op(jax.random.PRNGKey(0), state,
+                                           (0.5, 2.0), (2.0, 4.0), p=1.0)
+    assert float(w) >= 100 and float(h) >= 100
+    # box offset equals window origin shift
+    np.testing.assert_allclose(float(out_boxes[0, 0]) - 10.0, -float(ox))
+    np.testing.assert_allclose(float(out_boxes[0, 1]) - 10.0, -float(oy))
+
+
+def test_crop_op_keeps_center_boxes():
+    # one big box covering the middle: any accepted crop must keep it
+    boxes = jnp.asarray([[30.0, 30, 70, 70, 2, 1, 0]])
+    state = (jnp.float32(100), jnp.float32(100), jnp.float32(0), jnp.float32(0),
+             boxes, jnp.asarray([True]))
+    accepted_any = False
+    for i in range(5):
+        w, h, ox, oy, out_boxes, out_mask = crop_op(
+            jax.random.PRNGKey(i), state, min_iou=0.0,
+            area_range=(0.5, 1.0), p=1.0)
+        if float(w) < 100 or float(h) < 100:
+            accepted_any = True
+            assert bool(out_mask[0])
+            b = np.asarray(out_boxes[0, :4])
+            assert (b[:2] >= 0).all()
+            assert b[2] <= float(w) - 1 and b[3] <= float(h) - 1
+    assert accepted_any
+
+
+def test_crop_op_empty_target_accepts():
+    boxes = jnp.zeros((2, 7))
+    state = (jnp.float32(100), jnp.float32(100), jnp.float32(0), jnp.float32(0),
+             boxes, jnp.zeros((2,), bool))
+    w, h, *_ = crop_op(jax.random.PRNGKey(0), state, min_iou=0.5, p=1.0)
+    assert float(w) <= 100 and float(h) <= 100  # crop applied
+
+
+def test_sample_view_identity():
+    img = jnp.arange(4 * 4 * 3, dtype=jnp.float32).reshape(4, 4, 3)
+    out = sample_view(img, (jnp.float32(0), jnp.float32(0),
+                            jnp.float32(4), jnp.float32(4)), (4, 4),
+                      jnp.bool_(False), jnp.bool_(False), jnp.zeros(3))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+
+
+def test_sample_view_oob_fill():
+    img = jnp.ones((4, 4, 3), jnp.float32) * 100
+    fill = jnp.asarray([7.0, 8.0, 9.0])
+    # window entirely left of the image
+    out = sample_view(img, (jnp.float32(-10), jnp.float32(0),
+                            jnp.float32(4), jnp.float32(4)), (4, 4),
+                      jnp.bool_(False), jnp.bool_(False), fill)
+    np.testing.assert_allclose(np.asarray(out)[0, 0], [7, 8, 9])
+
+
+def test_sample_view_hflip():
+    img = jnp.asarray(np.arange(16, dtype=np.float32).reshape(4, 4, 1))
+    img = jnp.tile(img, (1, 1, 3))
+    out = sample_view(img, (jnp.float32(0), jnp.float32(0),
+                            jnp.float32(4), jnp.float32(4)), (4, 4),
+                      jnp.bool_(True), jnp.bool_(False), jnp.zeros(3))
+    np.testing.assert_allclose(np.asarray(out)[:, :, 0],
+                               np.asarray(img)[:, ::-1, 0], atol=1e-5)
+
+
+def test_full_train_pipeline_runs(rng):
+    augmentations = [
+        {'name': 'RandomAdjustHueSaturation',
+         'args': {'max_hue_delta': .1, 'saturation_delta_range': (.5, 1.5)}},
+        {'name': 'ToFloat'},
+        {'name': 'RandomAdjustBrightness', 'args': {'max_brightness_delta': .15}},
+        {'name': 'RandomAdjustContrast', 'args': {'contrast_delta_range': (.5, 1.5)}},
+        {'name': 'RandomExpand',
+         'args': {'aspect_ratio_range': (0.5, 2.0), 'area_range': (1.0, 16.0)}},
+        {'name': 'OneOf', 'args': {'transforms': [
+            {'name': 'Identity'},
+            {'name': 'RandomCrop', 'args': {'min_iou': .0}},
+            {'name': 'RandomCrop', 'args': {'min_iou': .5}},
+        ]}},
+        {'name': 'RandomHorizontalFlip'},
+    ]
+    pipe = Pipeline(augmentations=augmentations, preprocessing=PREPROCESSING,
+                    input_size=(64, 64), train=True)
+    img = rng.randint(0, 256, (4, 64, 64, 3)).astype(np.uint8)
+    boxes = np.zeros((4, 5, 7), np.float32)
+    mask = np.zeros((4, 5), bool)
+    for b in range(4):
+        boxes[b, 0] = [10, 10, 50, 50, 1, 1, 0]
+        mask[b, 0] = True
+    outs = []
+    for i in range(3):
+        out, out_boxes, out_mask = pipe(jax.random.PRNGKey(i),
+                                        jnp.asarray(img), jnp.asarray(boxes),
+                                        jnp.asarray(mask))
+        assert out.shape == (4, 64, 64, 3)
+        assert np.isfinite(np.asarray(out)).all()
+        ob = np.asarray(out_boxes)
+        assert (ob[..., :4] >= 0).all() and (ob[..., :4] <= 63).all()
+        # class/score columns pass through untouched
+        valid = np.asarray(out_mask)
+        assert (ob[..., 4][valid & mask] >= 0).all()
+        outs.append(np.asarray(out))
+    # different seeds produce different augmentations
+    assert not np.allclose(outs[0], outs[1])
