@@ -152,7 +152,11 @@ class Coco(DetectionDataset):
                     'vase', 'scissors', 'teddy bear', 'hair drier',
                     'toothbrush')
 
-    def __init__(self, root: str, image_set: str = 'train', year: int = 2017, **_):
+    def __init__(self, root: str, image_set: Optional[str] = None,
+                 year: int = 2017, val: bool = False,
+                 with_crowd: bool = True, **_):
+        if image_set is None:
+            image_set = 'val' if val else 'train'  # parity: coco.py:42
         ann_path = os.path.join(root, 'annotations',
                                 f'instances_{image_set}{year}.json')
         logging.info(f'===> Loading {ann_path}')
@@ -166,7 +170,7 @@ class Coco(DetectionDataset):
         images = {img['id']: img for img in payload['images']}
         by_image: Dict[int, list] = {img_id: [] for img_id in images}
         for ann in payload['annotations']:
-            if ann.get('iscrowd', 0):
+            if ann.get('iscrowd', 0) and not with_crowd:
                 continue
             x, y, w, h = ann['bbox']
             img = images[ann['image_id']]

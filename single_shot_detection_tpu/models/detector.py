@@ -145,6 +145,11 @@ class Detector(nn.Module):
             pred_kwargs = {k: v for k, v in self.predictor.items()
                            if k in ('num_layers', 'num_channels', 'kernel_size',
                                     'activation')}
+            # reference configs use {'name': ..., 'args': ...} activation dicts
+            # (flax may have frozen the nested dict into a Mapping)
+            import collections.abc
+            if isinstance(pred_kwargs.get('activation'), collections.abc.Mapping):
+                pred_kwargs['activation'] = pred_kwargs['activation']['name']
             score_sources, loc_sources = SharedConvPredictor(
                 use_depthwise=self.use_depthwise, axis_name=self.axis_name,
                 dtype=self.dtype, name='predictor',

@@ -1,0 +1,155 @@
+"""ResNet / ResNeXt backbones (flax, NHWC) with the reference's wrapper
+stage indexing.
+
+Functional-parity target: torchvision resnet18/34/50/101/152 and
+resnext50_32x4d / resnext101_32x8d as wrapped by the reference
+(``bf/builders/base_builder.py:10-26`` ``_resnet_wrapper``):
+``stages = [conv1, bn1, relu, maxpool, layer1, layer2, layer3, layer4]`` —
+so configs like retina_rn50's ``out_layers (5, 6, 7)`` tap C3/C4/C5.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class BasicBlock(nn.Module):
+    features: int
+    stride: int = 1
+    downsample: bool = False
+    axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        def bn(name):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                axis_name=self.axis_name if train else None,
+                                dtype=self.dtype, name=name)
+
+        identity = x
+        out = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
+                      padding=((1, 1), (1, 1)), use_bias=False,
+                      dtype=self.dtype, name='conv1')(x)
+        out = nn.relu(bn('bn1')(out))
+        out = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
+                      use_bias=False, dtype=self.dtype, name='conv2')(out)
+        out = bn('bn2')(out)
+        if self.downsample:
+            identity = nn.Conv(self.features, (1, 1),
+                               strides=(self.stride,) * 2, use_bias=False,
+                               dtype=self.dtype, name='downsample_conv')(x)
+            identity = bn('downsample_bn')(identity)
+        return nn.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    features: int  # output channels = features * 4
+    stride: int = 1
+    downsample: bool = False
+    groups: int = 1
+    base_width: int = 64
+    axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    expansion = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        def bn(name):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                axis_name=self.axis_name if train else None,
+                                dtype=self.dtype, name=name)
+
+        width = int(self.features * (self.base_width / 64.0)) * self.groups
+        identity = x
+        out = nn.Conv(width, (1, 1), use_bias=False, dtype=self.dtype,
+                      name='conv1')(x)
+        out = nn.relu(bn('bn1')(out))
+        out = nn.Conv(width, (3, 3), strides=(self.stride,) * 2,
+                      padding=((1, 1), (1, 1)), feature_group_count=self.groups,
+                      use_bias=False, dtype=self.dtype, name='conv2')(out)
+        out = nn.relu(bn('bn2')(out))
+        out = nn.Conv(self.features * self.expansion, (1, 1), use_bias=False,
+                      dtype=self.dtype, name='conv3')(out)
+        out = bn('bn3')(out)
+        if self.downsample:
+            identity = nn.Conv(self.features * self.expansion, (1, 1),
+                               strides=(self.stride,) * 2, use_bias=False,
+                               dtype=self.dtype, name='downsample_conv')(x)
+            identity = bn('downsample_bn')(identity)
+        return nn.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    """8-stage feature extractor matching the reference wrapper indexing."""
+
+    block: str = 'bottleneck'  # 'basic' | 'bottleneck'
+    layers: Sequence[int] = (3, 4, 6, 3)
+    groups: int = 1
+    width_per_group: int = 64
+    axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    num_stages = 8
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, max_stage: Optional[int] = None):
+        last = self.num_stages - 1 if max_stage is None else max_stage
+        stages = []
+
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, dtype=self.dtype, name='conv1')(x)
+        stages.append(x)
+        if last <= 0:
+            return stages, {}
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         axis_name=self.axis_name if train else None,
+                         dtype=self.dtype, name='bn1')(x)
+        stages.append(x)
+        if last <= 1:
+            return stages, {}
+        x = nn.relu(x)
+        stages.append(x)
+        if last <= 2:
+            return stages, {}
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        stages.append(x)
+        if last <= 3:
+            return stages, {}
+
+        block_cls = Bottleneck if self.block == 'bottleneck' else BasicBlock
+        expansion = 4 if self.block == 'bottleneck' else 1
+        in_features = 64
+        for i, (features, count) in enumerate(
+                zip((64, 128, 256, 512), self.layers)):
+            stride = 1 if i == 0 else 2
+            for j in range(count):
+                kwargs = dict(features=features,
+                              stride=stride if j == 0 else 1,
+                              downsample=(j == 0 and
+                                          (stride != 1 or
+                                           in_features != features * expansion)),
+                              axis_name=self.axis_name, dtype=self.dtype,
+                              name=f'layer{i + 1}_{j}')
+                if self.block == 'bottleneck':
+                    kwargs.update(groups=self.groups,
+                                  base_width=self.width_per_group)
+                x = block_cls(**kwargs)(x, train)
+                in_features = features * expansion
+            stages.append(x)
+            if last <= 4 + i:
+                return stages, {}
+        return stages, {}
+
+
+RESNET_CONFIGS = {
+    18: dict(block='basic', layers=(2, 2, 2, 2)),
+    34: dict(block='basic', layers=(3, 4, 6, 3)),
+    50: dict(block='bottleneck', layers=(3, 4, 6, 3)),
+    101: dict(block='bottleneck', layers=(3, 4, 23, 3)),
+    152: dict(block='bottleneck', layers=(3, 8, 36, 3)),
+}

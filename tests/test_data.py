@@ -73,7 +73,7 @@ def test_coco_parsing(tmp_path):
     }
     (root / 'annotations/instances_val2017.json').write_text(json.dumps(payload))
     _write_image(root / 'val2017/a.jpg')
-    ds = Coco(str(root), image_set='val', year=2017)
+    ds = Coco(str(root), val=True, year=2017, with_crowd=False)
     assert len(ds) == 1
     boxes = ds.boxes(0)
     assert boxes.shape == (1, 6)
