@@ -35,7 +35,8 @@ class Postprocessor:
                  score_threshold: float,
                  nms: dict,
                  score_converter: str = 'SOFTMAX',
-                 max_total: int = 200):
+                 max_total: int = 200,
+                 use_pallas: bool = None):
         if score_converter not in ('SOFTMAX', 'SIGMOID'):
             raise ValueError(f'Wrong value for score_converter: {score_converter}')
         self.box_coder = box_coder
@@ -46,6 +47,10 @@ class Postprocessor:
         self.sigma = float(nms.get('sigma', 0.5))
         self.score_converter = score_converter
         self.max_total = int(max_total) if max_total is not None else None
+        if use_pallas is None:
+            from single_shot_detection_tpu.ops import nms_pallas
+            use_pallas = nms_pallas.available() and not self.soft
+        self.use_pallas = bool(use_pallas)
 
     def __call__(self, scores: jnp.ndarray, locs: jnp.ndarray, anchors: jnp.ndarray):
         return _postprocess(scores, locs, anchors,
@@ -57,15 +62,17 @@ class Postprocessor:
                             score_converter=self.score_converter,
                             max_total=self.max_total,
                             soft=self.soft,
-                            sigma=self.sigma)
+                            sigma=self.sigma,
+                            use_pallas=self.use_pallas)
 
 
 @functools.partial(jax.jit, static_argnames=(
     'xy_scale', 'wh_scale', 'score_threshold', 'overlap_threshold',
-    'max_per_class', 'score_converter', 'max_total', 'soft', 'sigma'))
+    'max_per_class', 'score_converter', 'max_total', 'soft', 'sigma',
+    'use_pallas'))
 def _postprocess(scores, locs, anchors, *, xy_scale, wh_scale, score_threshold,
                  overlap_threshold, max_per_class, score_converter, max_total,
-                 soft, sigma):
+                 soft, sigma, use_pallas=False):
     from single_shot_detection_tpu.ops.box_coder import BoxCoder
     coder = BoxCoder(xy_scale=xy_scale, wh_scale=wh_scale)
 
@@ -94,11 +101,20 @@ def _postprocess(scores, locs, anchors, *, xy_scale, wh_scale, score_threshold,
             picked = nms_ops.soft_nms(b, jnp.where(s > -jnp.inf, s, 0.0),
                                       score_threshold, sigma)
             return picked & (s > -jnp.inf)
+
+        keep = jax.vmap(jax.vmap(suppress))(top_boxes, top_scores)
+    elif use_pallas:
+        from single_shot_detection_tpu.ops import nms_pallas
+        flat_boxes_sorted = top_boxes.reshape(-1, k, 4)
+        flat_sorted_scores = top_scores.reshape(-1, k)
+        keep = nms_pallas.nms_keep_batched(
+            flat_boxes_sorted, flat_sorted_scores, overlap_threshold)
+        keep = keep.reshape(top_scores.shape)
     else:
         def suppress(b, s):
             return nms_ops.nms_mask(b, s, overlap_threshold)
 
-    keep = jax.vmap(jax.vmap(suppress))(top_boxes, top_scores)  # [B, C, K]
+        keep = jax.vmap(jax.vmap(suppress))(top_boxes, top_scores)  # [B, C, K]
     kept_scores = jnp.where(keep, top_scores, -jnp.inf)
 
     # Flatten classes, attach 1-based class ids, take global top max_total.
