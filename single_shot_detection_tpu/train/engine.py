@@ -169,6 +169,11 @@ class Experiment:
             opt_cfg, lr_schedule=self.lr_schedule,
             accumulation_steps=self.accumulation_steps)
 
+        self.pruner_cfg = train_cfg.get('pruner')
+        if self.pruner_cfg:
+            from single_shot_detection_tpu.train import pruning
+            self.tx = pruning.masked(self.tx)
+
         # --- state -----------------------------------------------------------
         variables = self.bundle.init(
             jax.random.fold_in(self.rng, 17),
@@ -189,6 +194,16 @@ class Experiment:
                     self.start_epoch = meta['epoch'] + 1
             else:
                 logging.warning(f'WW no checkpoint found under {resume_from}')
+
+        self.pruner = None
+        if self.pruner_cfg:
+            from single_shot_detection_tpu.train import pruning
+            self.pruner = pruning.Pruner(
+                self.state.params,
+                criterion=self.pruner_cfg.get('criterion',
+                                              {'name': 'MinL1Norm'}),
+                include_paths=self.pruner_cfg.get('include_paths'),
+                num=self.pruner_cfg.get('num', 1))
 
         # --- steps ------------------------------------------------------------
         self.train_step = make_train_step(
@@ -218,6 +233,8 @@ class Experiment:
 
         for epoch in range(self.start_epoch, self.epochs):
             logging.info(f'Epoch: {epoch}/{self.epochs - 1}')
+            if self.pruner is not None:  # parity: main.py:107-112 epoch_start
+                self.state = self.pruner.prune(self.state)
             start = time.time()
             sums = {'loss': 0.0, 'class_loss': 0.0, 'loc_loss': 0.0}
             count = 0

@@ -1,0 +1,218 @@
+"""Import pretrained torch checkpoints into flax param trees.
+
+Functional-parity targets: reference pretrained-weight loading
+(``base_builder.py:81-84``, torchvision ``pretrained=True`` download) and the
+Keras converter spirit (``bf/utils/convert_weights.py``).  This environment
+has no network egress, so weights arrive as torch ``state_dict`` files the
+user provides (``model.base.weight`` config key or CLI); this module does the
+layout conversion:
+
+  torch Conv2d weight  [out, in, kh, kw]   -> flax kernel [kh, kw, in, out]
+  torch depthwise      [out, 1, kh, kw]    -> flax kernel [kh, kw, 1, out]
+  torch Linear weight  [out, in]           -> flax kernel [in, out]
+  torch BatchNorm      weight/bias/running_mean/running_var
+                       -> scale/bias + batch_stats mean/var
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def _to_numpy(value):
+    if hasattr(value, 'detach'):
+        return value.detach().cpu().numpy()
+    return np.asarray(value)
+
+
+def convert_tensor(name: str, value: np.ndarray, target_shape) -> np.ndarray:
+    """Convert a single torch tensor to the flax layout for ``target_shape``."""
+    value = _to_numpy(value)
+    if value.ndim == 4:
+        # [out, in/groups, kh, kw] -> [kh, kw, in/groups, out]
+        converted = value.transpose(2, 3, 1, 0)
+    elif value.ndim == 2:
+        converted = value.transpose(1, 0)
+    else:
+        converted = value
+    if tuple(converted.shape) != tuple(target_shape):
+        raise ValueError(f'{name}: converted shape {converted.shape} != '
+                         f'target {target_shape}')
+    return converted
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+    payload = torch.load(path, map_location='cpu', weights_only=False)
+    if isinstance(payload, dict) and 'state_dict' in payload:
+        payload = payload['state_dict']
+    if isinstance(payload, dict) and 'model_dict' in payload:
+        payload = payload['model_dict']
+    return {k: _to_numpy(v) for k, v in payload.items()}
+
+
+# ------------------------------------------------------------------ mappings
+
+def mobilenet_v2_mapping() -> Dict[str, Tuple[str, ...]]:
+    """torchvision mobilenet_v2 state_dict key prefix -> our param path.
+
+    torchvision layout: features.0 (ConvBNReLU), features.1..17
+    (InvertedResidual with .conv.N submodules), features.18 (ConvBNReLU).
+    Ours: stage0 / stage1..17 (expand/depthwise/project) / stage18.
+    """
+    m: Dict[str, Tuple[str, ...]] = {}
+    m['features.0.0'] = ('stage0', 'conv')
+    m['features.0.1'] = ('stage0', 'bn')
+    # stage 1 has no expansion: conv.0 = dw ConvBNReLU, conv.1 = project conv,
+    # conv.2 = project bn
+    m['features.1.conv.0.0'] = ('stage1', 'depthwise_conv')
+    m['features.1.conv.0.1'] = ('stage1', 'depthwise_bn')
+    m['features.1.conv.1'] = ('stage1', 'project_conv')
+    m['features.1.conv.2'] = ('stage1', 'project_bn')
+    for i in range(2, 18):
+        m[f'features.{i}.conv.0.0'] = (f'stage{i}', 'expand_conv')
+        m[f'features.{i}.conv.0.1'] = (f'stage{i}', 'expand_bn')
+        m[f'features.{i}.conv.1.0'] = (f'stage{i}', 'depthwise_conv')
+        m[f'features.{i}.conv.1.1'] = (f'stage{i}', 'depthwise_bn')
+        m[f'features.{i}.conv.2'] = (f'stage{i}', 'project_conv')
+        m[f'features.{i}.conv.3'] = (f'stage{i}', 'project_bn')
+    m['features.18.0'] = ('stage18', 'conv')
+    m['features.18.1'] = ('stage18', 'bn')
+    return m
+
+
+def vgg_bn_mapping(config) -> Dict[str, Tuple[str, ...]]:
+    """torchvision vggN_bn ``features.K`` -> our conv{i}/bn{i} names."""
+    m: Dict[str, Tuple[str, ...]] = {}
+    idx = 0
+    conv = 0
+    for item in config:
+        if item == 'M':
+            idx += 1
+            continue
+        m[f'features.{idx}'] = (f'conv{conv}',)
+        m[f'features.{idx + 1}'] = (f'bn{conv}',)
+        idx += 3
+        conv += 1
+    return m
+
+
+def resnet_mapping(layers) -> Dict[str, Tuple[str, ...]]:
+    m: Dict[str, Tuple[str, ...]] = {
+        'conv1': ('conv1',), 'bn1': ('bn1',),
+    }
+    for li, count in enumerate(layers, start=1):
+        for b in range(count):
+            base = f'layer{li}.{b}'
+            ours = f'layer{li}_{b}'
+            for name in ('conv1', 'bn1', 'conv2', 'bn2', 'conv3', 'bn3'):
+                m[f'{base}.{name}'] = (ours, name)
+            m[f'{base}.downsample.0'] = (ours, 'downsample_conv')
+            m[f'{base}.downsample.1'] = (ours, 'downsample_bn')
+    return m
+
+
+MAPPINGS = {
+    'torchvision_mobilenet_v2': lambda: mobilenet_v2_mapping(),
+    'mobilenet_v2': lambda: mobilenet_v2_mapping(),
+}
+
+
+def import_backbone(state_dict: Dict[str, np.ndarray],
+                    variables: dict,
+                    backbone_name: str,
+                    base_path: Tuple[str, ...] = ('features', 'base')) -> dict:
+    """Fill the backbone subtree of ``variables`` from a torch state_dict.
+
+    Returns a new variables dict; unmatched target params keep their init
+    (logged).  ``base_path`` locates the backbone inside the detector tree.
+    """
+    if backbone_name.startswith('torchvision_vgg'):
+        from single_shot_detection_tpu.models.vgg import VGG_CONFIGS
+        depth = int(''.join(ch for ch in backbone_name if ch.isdigit()))
+        mapping = vgg_bn_mapping(VGG_CONFIGS[depth])
+    elif backbone_name.startswith('torchvision_resnet') or \
+            backbone_name.startswith('torchvision_resnext'):
+        from single_shot_detection_tpu.models.resnet import RESNET_CONFIGS
+        depth = int(''.join(ch for ch in backbone_name.split('_')[1]
+                            if ch.isdigit()))
+        mapping = resnet_mapping(RESNET_CONFIGS[depth]['layers'])
+    elif backbone_name in MAPPINGS:
+        mapping = MAPPINGS[backbone_name]()
+    else:
+        raise KeyError(f'No torch mapping for backbone {backbone_name!r}')
+
+    import jax
+
+    params = jax.tree_util.tree_map(np.asarray, variables['params'])
+    batch_stats = jax.tree_util.tree_map(np.asarray,
+                                         variables.get('batch_stats', {}))
+
+    def get_subtree(tree, path):
+        for k in path:
+            tree = tree[k]
+        return tree
+
+    target_params = get_subtree(params, base_path)
+    target_stats = get_subtree(batch_stats, base_path) if batch_stats else {}
+
+    filled = 0
+    missing = []
+    for torch_prefix, our_path in mapping.items():
+        w = state_dict.get(f'{torch_prefix}.weight')
+        b = state_dict.get(f'{torch_prefix}.bias')
+        rm = state_dict.get(f'{torch_prefix}.running_mean')
+        rv = state_dict.get(f'{torch_prefix}.running_var')
+
+        node = target_params
+        ok = True
+        for k in our_path[:-1]:
+            if k not in node:
+                ok = False
+                break
+            node = node[k]
+        leaf_name = our_path[-1]
+        if not ok or leaf_name not in node:
+            if w is not None:
+                missing.append(torch_prefix)
+            continue
+        leaf = node[leaf_name]
+
+        if rm is not None:  # BatchNorm
+            if w is not None:
+                leaf['scale'] = convert_tensor(torch_prefix, w,
+                                               leaf['scale'].shape)
+            if b is not None:
+                leaf['bias'] = convert_tensor(torch_prefix, b,
+                                              leaf['bias'].shape)
+            stats_node = target_stats
+            for k in our_path[:-1]:
+                stats_node = stats_node.get(k, {})
+            stats_leaf = stats_node.get(leaf_name)
+            if stats_leaf is not None:
+                stats_leaf['mean'] = convert_tensor(torch_prefix, rm,
+                                                    stats_leaf['mean'].shape)
+                stats_leaf['var'] = convert_tensor(torch_prefix, rv,
+                                                   stats_leaf['var'].shape)
+            filled += 1
+        else:  # Conv/Linear
+            if w is not None:
+                leaf['kernel'] = convert_tensor(torch_prefix, w,
+                                                leaf['kernel'].shape)
+                filled += 1
+            if b is not None and 'bias' in leaf:
+                leaf['bias'] = convert_tensor(torch_prefix, b,
+                                              leaf['bias'].shape)
+
+    if missing:
+        logging.warning(f'WW torch import: no target for {missing[:5]}...'
+                        f' ({len(missing)} total)')
+    logging.info(f'===> torch import: filled {filled} modules into '
+                 f'{"/".join(base_path)}')
+    out = {'params': params}
+    if batch_stats:
+        out['batch_stats'] = batch_stats
+    return out
