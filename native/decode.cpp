@@ -1,0 +1,173 @@
+// Native data-loader hot path: JPEG decode + bilinear staging resize.
+//
+// TPU-native replacement for the reference's native data dependencies —
+// jpeg4py/libturbojpeg decode (detection_dataset.py:3,23) and OpenCV resize
+// (functional/img.py:8-17).  A thread pool decodes a batch of files and
+// writes directly into one preallocated uint8 [B, H, W, 3] staging buffer,
+// so python sees a single zero-copy numpy array ready for device upload.
+//
+// Exposed as C symbols for ctypes (no pybind11 in this image).
+
+#include <cstddef>
+#include <cstdio>
+#include <jpeglib.h>
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <csetjmp>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct JpegErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+void error_exit(j_common_ptr cinfo) {
+  JpegErrorMgr* err = reinterpret_cast<JpegErrorMgr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+// Decode one JPEG file to RGB; returns malloc'd buffer (caller frees).
+uint8_t* decode_jpeg(const char* path, int* width, int* height) {
+  FILE* file = std::fopen(path, "rb");
+  if (!file) return nullptr;
+
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  uint8_t* buffer = nullptr;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(file);
+    std::free(buffer);
+    return nullptr;
+  }
+
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, file);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+
+  *width = cinfo.output_width;
+  *height = cinfo.output_height;
+  const size_t stride = static_cast<size_t>(*width) * 3;
+  buffer = static_cast<uint8_t*>(std::malloc(stride * *height));
+
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = buffer + cinfo.output_scanline * stride;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  std::fclose(file);
+  return buffer;
+}
+
+// Bilinear resize RGB uint8 (same sampling convention as cv2.resize /
+// data/transforms.py sample_view: src = (dst + 0.5) * scale - 0.5).
+void resize_bilinear(const uint8_t* src, int sw, int sh,
+                     uint8_t* dst, int dw, int dh) {
+  const float sx = static_cast<float>(sw) / dw;
+  const float sy = static_cast<float>(sh) / dh;
+  for (int y = 0; y < dh; ++y) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    int y0 = static_cast<int>(std::floor(fy));
+    float wy = fy - y0;
+    int y0c = std::clamp(y0, 0, sh - 1);
+    int y1c = std::clamp(y0 + 1, 0, sh - 1);
+    for (int x = 0; x < dw; ++x) {
+      float fx = (x + 0.5f) * sx - 0.5f;
+      int x0 = static_cast<int>(std::floor(fx));
+      float wx = fx - x0;
+      int x0c = std::clamp(x0, 0, sw - 1);
+      int x1c = std::clamp(x0 + 1, 0, sw - 1);
+      const uint8_t* p00 = src + (static_cast<size_t>(y0c) * sw + x0c) * 3;
+      const uint8_t* p01 = src + (static_cast<size_t>(y0c) * sw + x1c) * 3;
+      const uint8_t* p10 = src + (static_cast<size_t>(y1c) * sw + x0c) * 3;
+      const uint8_t* p11 = src + (static_cast<size_t>(y1c) * sw + x1c) * 3;
+      uint8_t* out = dst + (static_cast<size_t>(y) * dw + x) * 3;
+      for (int c = 0; c < 3; ++c) {
+        float top = p00[c] * (1 - wx) + p01[c] * wx;
+        float bot = p10[c] * (1 - wx) + p11[c] * wx;
+        out[c] = static_cast<uint8_t>(top * (1 - wy) + bot * wy + 0.5f);
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode `count` JPEG files, resize each to (dw, dh), write into
+// out[b, dh, dw, 3].  orig_sizes[b*2+{0,1}] receives (width, height).
+// Returns the number of successfully decoded images; failures leave the
+// slot zeroed with orig_sizes = 0 (python falls back for those).
+int decode_batch(const char** paths, int count,
+                 uint8_t* out, int dw, int dh,
+                 int* orig_sizes, int num_threads) {
+  std::atomic<int> next(0);
+  std::atomic<int> ok(0);
+  const size_t slot = static_cast<size_t>(dw) * dh * 3;
+
+  auto worker = [&]() {
+    while (true) {
+      int b = next.fetch_add(1);
+      if (b >= count) break;
+      int w = 0, h = 0;
+      uint8_t* img = decode_jpeg(paths[b], &w, &h);
+      if (!img) {
+        std::memset(out + slot * b, 0, slot);
+        orig_sizes[b * 2] = 0;
+        orig_sizes[b * 2 + 1] = 0;
+        continue;
+      }
+      orig_sizes[b * 2] = w;
+      orig_sizes[b * 2 + 1] = h;
+      if (w == dw && h == dh) {
+        std::memcpy(out + slot * b, img, slot);
+      } else {
+        resize_bilinear(img, w, h, out + slot * b, dw, dh);
+      }
+      std::free(img);
+      ok.fetch_add(1);
+    }
+  };
+
+  int threads = std::max(1, std::min(num_threads, count));
+  std::vector<std::thread> pool;
+  pool.reserve(threads);
+  for (int i = 0; i < threads; ++i) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+  return ok.load();
+}
+
+// Single-image decode into a caller buffer of capacity cap bytes (RGB).
+// Returns 0 on success.
+int decode_single(const char* path, uint8_t* out, long cap,
+                  int* width, int* height) {
+  int w = 0, h = 0;
+  uint8_t* img = decode_jpeg(path, &w, &h);
+  if (!img) return -1;
+  long need = static_cast<long>(w) * h * 3;
+  if (need > cap) {
+    std::free(img);
+    return -2;
+  }
+  std::memcpy(out, img, need);
+  *width = w;
+  *height = h;
+  std::free(img);
+  return 0;
+}
+
+}  // extern "C"

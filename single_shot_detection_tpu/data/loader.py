@@ -92,26 +92,59 @@ class Loader:
 
     steps_per_epoch = property(__len__)
 
+    def _native_fill(self, idxs, images) -> Optional[np.ndarray]:
+        """Try the C++ batch decode+stage path (native/decode.cpp); returns
+        per-image original sizes or None to fall back."""
+        from single_shot_detection_tpu.data import native
+        paths = []
+        for i in idxs:
+            ann = self.dataset.annotations[int(i)]
+            path = ann.get('image_path', '')
+            if not path.lower().endswith(('.jpg', '.jpeg')):
+                return None
+            paths.append(path)
+        return native.decode_batch_into(paths, images[:len(idxs)],
+                                        num_threads=self.num_workers)
+
     def _make_batch(self, idxs: np.ndarray, pool: ThreadPoolExecutor) -> dict:
         s = self.staging_size
         n = len(idxs)
 
-        def prepare(i):
-            img = self.dataset.load_image(int(i))
-            boxes = self.dataset.boxes(int(i))
-            return stage_image(img, boxes, s)
-
-        results = list(pool.map(prepare, idxs))
-
         images = np.zeros((self.batch_size, s[1], s[0], 3), np.uint8)
         boxes = np.zeros((self.batch_size, self.max_gt, 7), np.float32)
         mask = np.zeros((self.batch_size, self.max_gt), bool)
-        for row, (img, b) in enumerate(results):
-            images[row] = img
-            k = min(len(b), self.max_gt)
-            if k:
-                boxes[row, :k, :b.shape[1]] = b[:k]
-                mask[row, :k] = True
+
+        sizes = self._native_fill(idxs, images)
+        if sizes is not None:
+            for row, i in enumerate(idxs):
+                w, h = int(sizes[row, 0]), int(sizes[row, 1])
+                if w == 0 or h == 0:  # native decode failed: python fallback
+                    img, b = stage_image(self.dataset.load_image(int(i)),
+                                         self.dataset.boxes(int(i)), s)
+                    images[row] = img
+                else:
+                    b = self.dataset.boxes(int(i)).copy()
+                    if len(b):
+                        b[:, [0, 2]] = np.clip(b[:, [0, 2]] * (s[0] / w),
+                                               0, s[0] - 1)
+                        b[:, [1, 3]] = np.clip(b[:, [1, 3]] * (s[1] / h),
+                                               0, s[1] - 1)
+                k = min(len(b), self.max_gt)
+                if k:
+                    boxes[row, :k, :b.shape[1]] = b[:k]
+                    mask[row, :k] = True
+        else:
+            def prepare(i):
+                img = self.dataset.load_image(int(i))
+                return stage_image(img, self.dataset.boxes(int(i)), s)
+
+            for row, (img, b) in enumerate(pool.map(prepare, idxs)):
+                images[row] = img
+                k = min(len(b), self.max_gt)
+                if k:
+                    boxes[row, :k, :b.shape[1]] = b[:k]
+                    mask[row, :k] = True
+
         ids = np.full((self.batch_size,), -1, np.int64)
         ids[:n] = idxs
         return {'image': images, 'boxes': boxes, 'box_mask': mask, 'ids': ids}
