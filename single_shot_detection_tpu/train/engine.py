@@ -367,7 +367,7 @@ class Experiment:
         variables = {'params': self.state.params,
                      'batch_stats': self.state.batch_stats}
         dets, valid = self.predict_step(variables, img)
-        dets = np.asarray(dets[0][np.asarray(valid[0])])
+        dets = np.array(dets[0][np.asarray(valid[0])])
         dets[:, [0, 2]] *= w / self.input_size[0]
         dets[:, [1, 3]] *= h / self.input_size[1]
         return dets

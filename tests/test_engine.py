@@ -1,0 +1,155 @@
+"""Engine-level: experiment wiring, resume, determinism, export."""
+
+import os
+import textwrap
+
+import jax
+import numpy as np
+import pytest
+
+from single_shot_detection_tpu.train.engine import Experiment
+from single_shot_detection_tpu.utils.config import load_config
+
+
+SMOKE = os.path.join(os.path.dirname(__file__), '..', 'samples',
+                     'synthetic_smoke.py')
+
+RETINA_SMOKE = """
+seed = 23
+model = {
+    'base': {'name': 'torchvision_resnet18'},
+    'detector': {
+        'num_classes': 4,
+        'features': {'name': 'FeaturePyramid', 'out_layers': (5, 6, 7),
+                     'pyramid_layers': 3, 'pyramid_channels': 64},
+        'predictor': {'num_layers': 1, 'num_channels': 64},
+        'heads': {'score_head_bias_init': -4.6},
+    },
+    'anchor_generator': {'type': 'retina_net', 'min_level': 3, 'max_level': 5,
+                         'aspect_ratios': [1.0, 2.0], 'scale': 4.0,
+                         'scales_per_level': 1},
+}
+box_coder = {'xy_scale': 10.0, 'wh_scale': 5.0}
+sampler = {'name': 'naive_sampler'}
+loss = {
+    'classification_loss': {'name': 'SigmoidFocalLoss', 'gamma': 2.0,
+                            'alpha': 0.25},
+    'localization_loss': {'name': 'SmoothL1Loss'},
+}
+postprocess = {'score_threshold': 0.05, 'max_total': 20,
+               'nms': {'max_per_class': 10, 'overlap_threshold': 0.5},
+               'score_converter': 'SIGMOID'}
+target_assigner = {'matched_threshold': 0.5, 'unmatched_threshold': 0.4}
+augmentations = [{'name': 'RandomHorizontalFlip'}]
+preprocessing = [
+    {'name': 'ToFloatTensor', 'args': {'normalize': True}},
+    {'name': 'Normalize', 'args': {'mean': [0.485, 0.456, 0.406],
+                                   'std': [0.229, 0.224, 0.225]}},
+]
+input_size = (96, 96)
+dataset = {
+    'train': {'name': 'Synthetic', 'num_images': 8, 'image_size': 96,
+              'num_classes': 5, 'max_boxes': 2, 'seed': 1},
+    'eval': {'name': 'Synthetic', 'num_images': 4, 'image_size': 96,
+             'num_classes': 5, 'max_boxes': 2, 'seed': 2},
+}
+batch_size = 4
+shuffle = True
+num_workers = 1
+train = {'epochs': 1, 'eval_every': 1, 'max_gt': 4,
+         'optimizer': {'name': 'SGD', 'lr': 1e-3, 'momentum': 0.9}}
+"""
+
+
+def test_retina_focal_path_trains_and_evals(tmp_path):
+    cfg_path = tmp_path / 'retina.py'
+    cfg_path.write_text(RETINA_SMOKE)
+    cfg = load_config(str(cfg_path))
+    exp = Experiment(cfg, phases=['train', 'eval'], debug=True)
+    rows = exp.train()
+    assert np.isfinite(rows[-1]['train_loss'])
+    assert 'eval_mAP' in rows[-1]
+
+
+def test_checkpoint_resume_roundtrip(tmp_path):
+    cfg = load_config(SMOKE)
+    cfg.config.train['epochs'] = 2
+    cfg.config.train['eval_every'] = 99
+    exp = Experiment(cfg, phases=['train'], checkpoint_dir=str(tmp_path),
+                     debug=False)
+    exp.save_every = 1
+    exp.train()
+    files = [f for f in os.listdir(tmp_path) if f.endswith('.msgpack')]
+    assert files, 'no checkpoints written'
+
+    cfg2 = load_config(SMOKE)
+    cfg2.config.train['epochs'] = 2
+    exp2 = Experiment(cfg2, phases=['train'], checkpoint_dir=str(tmp_path),
+                      resume_from=str(tmp_path), debug=True)
+    assert exp2.start_epoch == 2
+    assert int(exp2.state.step) == int(exp.state.step)
+    a = jax.tree_util.tree_leaves(exp.state.params)
+    b = jax.tree_util.tree_leaves(exp2.state.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_load_weights_only(tmp_path):
+    cfg = load_config(SMOKE)
+    cfg.config.train['epochs'] = 1
+    cfg.config.train['eval_every'] = 99
+    exp = Experiment(cfg, phases=['train'], checkpoint_dir=str(tmp_path))
+    exp.save_every = 1
+    exp.train()
+
+    cfg2 = load_config(SMOKE)
+    exp2 = Experiment(cfg2, phases=['train'], resume_from=str(tmp_path),
+                      load_weights=True, debug=True)
+    assert exp2.start_epoch == 0  # fresh counters
+    a = jax.tree_util.tree_leaves(exp.state.params)
+    b = jax.tree_util.tree_leaves(exp2.state.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_determinism_same_seed(tmp_path):
+    losses = []
+    for _ in range(2):
+        cfg = load_config(SMOKE)
+        cfg.config.train['epochs'] = 1
+        cfg.config.train['eval_every'] = 99
+        exp = Experiment(cfg, phases=['train'], debug=True)
+        rows = exp.train()
+        losses.append(rows[-1]['train_loss'])
+    assert losses[0] == losses[1]
+
+
+def test_export_stablehlo_roundtrip(tmp_path):
+    from single_shot_detection_tpu.export import export_model, load_exported
+    cfg = load_config(SMOKE)
+    cfg.config.train['epochs'] = 0
+    exp = Experiment(cfg, phases=['train'], debug=True)
+    path = export_model(exp, str(tmp_path / 'model'))
+    assert os.path.exists(path)
+    infer = load_exported(path)
+    import jax.numpy as jnp
+    variables = {'params': exp.state.params,
+                 'batch_stats': exp.state.batch_stats}
+    probs, boxes = infer(variables, jnp.zeros((1, 128, 128, 3)))
+    assert probs.shape[-1] == 5
+    assert boxes.shape[-1] == 4
+    assert np.isfinite(np.asarray(probs)).all()
+
+
+def test_predict_single_image(tmp_path):
+    cfg = load_config(SMOKE)
+    cfg.config.train['epochs'] = 0
+    exp = Experiment(cfg, phases=['train'], debug=True)
+    img = (np.random.RandomState(0).rand(200, 260, 3) * 255).astype(np.uint8)
+    dets = exp.predict(img)
+    assert dets.ndim == 2 and dets.shape[1] == 6
+    # boxes are rescaled toward source resolution (the reference doesn't
+    # clip decoded boxes either, detector_wrapper.py:62-63) — sanity-bound
+    if len(dets):
+        assert np.abs(dets[:, :4]).max() < 4 * 260
+        assert (dets[:, 4] >= 1).all()
