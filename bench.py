@@ -54,17 +54,18 @@ def main():
              'boxes': jnp.asarray(boxes), 'box_mask': jnp.asarray(mask)}
 
     key = jax.random.PRNGKey(1)
-    # compile + warmup
-    state, metrics = step(state, batch, key)
-    jax.block_until_ready(metrics['loss'])
+    # compile + warmup; the first post-compile timing loop is additionally
+    # discarded (remote-TPU relays run a slow path right after compilation)
     state, metrics = step(state, batch, key)
     jax.block_until_ready(metrics['loss'])
 
-    t0 = time.perf_counter()
-    for i in range(STEPS):
-        state, metrics = step(state, batch, jax.random.fold_in(key, i))
-    jax.block_until_ready(metrics['loss'])
-    elapsed = time.perf_counter() - t0
+    elapsed = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for i in range(STEPS):
+            state, metrics = step(state, batch, jax.random.fold_in(key, i))
+        jax.block_until_ready(metrics['loss'])
+        elapsed = time.perf_counter() - t0
 
     img_per_s = BATCH * STEPS / elapsed
     print(json.dumps({

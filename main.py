@@ -41,6 +41,9 @@ def get_argparser():
                         help='Video file or image folder for the test phase')
     parser.add_argument('--tensorboard', default=False, action='store_true',
                         help='Log to tensorboard')
+    parser.add_argument('--profile', type=str, default=None, metavar='DIR',
+                        help='Capture a jax.profiler device trace of the '
+                             'train phase into DIR (TensorBoard-viewable)')
 
     dist = parser.add_argument_group('distributed (multi-host)')
     dist.add_argument('--coordinator-address', type=str, default=None)
@@ -97,7 +100,14 @@ def main(args):
         return
 
     if 'train' in args.phases:
-        experiment.train()
+        if args.profile:
+            # replaces the reference's wall-clock-only timing (train.py:64)
+            # with a real device trace
+            import jax.profiler
+            with jax.profiler.trace(args.profile):
+                experiment.train()
+        else:
+            experiment.train()
     elif 'eval' in args.phases:
         experiment.evaluate()
 

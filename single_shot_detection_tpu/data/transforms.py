@@ -61,9 +61,15 @@ def _hsv_to_rgb(hsv):
     q = v * (1.0 - s * f)
     t = v * (1.0 - s * (1.0 - f))
     i = i.astype(jnp.int32) % 6
-    r = jnp.choose(i, [v, q, p, p, t, v], mode='clip')
-    g = jnp.choose(i, [t, v, v, q, p, p], mode='clip')
-    b = jnp.choose(i, [p, p, t, v, v, q], mode='clip')
+    # arithmetic selects (jnp.choose lowers to gathers — slow on TPU)
+    def pick(opts):
+        out = opts[0]
+        for k in range(1, 6):
+            out = jnp.where(i == k, opts[k], out)
+        return out
+    r = pick([v, q, p, p, t, v])
+    g = pick([t, v, v, q, p, p])
+    b = pick([p, p, t, v, v, q])
     return jnp.stack([r, g, b], axis=-1)
 
 
@@ -156,13 +162,10 @@ def _crop_candidate_accept(boxes, mask, region, min_iou, keep_criterion,
         return (jnp.clip(x[:, 2] - x[:, 0], 0, None)
                 * jnp.clip(x[:, 3] - x[:, 1], 0, None))
 
+    # reference computes iou(original, clipped) elementwise (box.py:70-71);
+    # intersection(original, clipped) == clipped, so iou = |clipped| / |orig|
     ia = area(inter)
-    ua = area(b) + ia - ia  # iou(a, intersection) denominator = area(a)
-    # reference computes iou(original, clipped) elementwise:
-    denom = area(b) + ia - ia * 0  # area(a) + area(inter) - inter(a, inter)
-    # intersection(original, clipped) == clipped, so iou = ia / area(b)
     iou = jnp.where(area(b) > 0, ia / jnp.maximum(area(b), 1e-12), 0.0)
-    del ua, denom
 
     has_boxes = jnp.any(mask)
     max_iou = jnp.max(jnp.where(mask, iou, -1.0))
@@ -255,8 +258,18 @@ def vflip_boxes(state, flip):
 # ---------------------------------------------------------------------------
 
 def sample_view(img, window, out_size, hflip, vflip, fill):
-    """One bilinear gather of ``window`` (staged coords, may be OOB) resized
-    to ``out_size`` — the fusion of expand/crop/flip/resize."""
+    """Bilinear resample of ``window`` (staged coords, may be OOB) to
+    ``out_size`` — the fusion of expand/crop/flip/resize.
+
+    TPU-first: the view transform is axis-separable (pure scale+translate,
+    no rotation), so instead of gathers (slow on TPU) it is computed as two
+    MXU matmuls with per-image interpolation matrices:
+      ``out = Ry @ img @ Rx^T + (1 - coverage) * fill``
+    where ``R[i, j] = relu(1 - |src_coord_i - j|)`` are exactly the bilinear
+    weights, rows of out-of-bounds coordinates sum < 1, and the coverage
+    deficit blends in the fill color — matching gather-with-OOB-fill
+    semantics bit-for-bit at boundaries.
+    """
     out_w, out_h = out_size
     wx0, wy0, cur_w, cur_h = window
     src_h, src_w = img.shape[0], img.shape[1]
@@ -265,29 +278,19 @@ def sample_view(img, window, out_size, hflip, vflip, fill):
     ys = (jnp.arange(out_h) + 0.5) * cur_h / out_h - 0.5
     xs = jnp.where(hflip, (cur_w - 1) - xs, xs)
     ys = jnp.where(vflip, (cur_h - 1) - ys, ys)
-    sx = wx0 + xs  # [W]
-    sy = wy0 + ys  # [H]
+    sx = wx0 + xs  # [out_w]
+    sy = wy0 + ys  # [out_h]
 
-    x0 = jnp.floor(sx)
-    y0 = jnp.floor(sy)
-    fx = (sx - x0)[None, :, None]
-    fy = (sy - y0)[:, None, None]
-    x0 = x0.astype(jnp.int32)
-    y0 = y0.astype(jnp.int32)
+    rx = jnp.maximum(0.0, 1.0 - jnp.abs(sx[:, None] - jnp.arange(src_w)[None, :]))
+    ry = jnp.maximum(0.0, 1.0 - jnp.abs(sy[:, None] - jnp.arange(src_h)[None, :]))
 
-    def tap(yi, xi):
-        inb = ((xi >= 0) & (xi < src_w))[None, :] & ((yi >= 0) & (yi < src_h))[:, None]
-        v = img[jnp.clip(yi, 0, src_h - 1)[:, None],
-                jnp.clip(xi, 0, src_w - 1)[None, :]]
-        return jnp.where(inb[..., None], v, fill)
-
-    v00 = tap(y0, x0)
-    v01 = tap(y0, x0 + 1)
-    v10 = tap(y0 + 1, x0)
-    v11 = tap(y0 + 1, x0 + 1)
-    top = v00 * (1 - fx) + v01 * fx
-    bot = v10 * (1 - fx) + v11 * fx
-    return top * (1 - fy) + bot * fy
+    img_f = img.astype(jnp.float32)
+    tmp = jnp.einsum('yi,ijc->yjc', ry, img_f,
+                     preferred_element_type=jnp.float32)
+    out = jnp.einsum('yjc,xj->yxc', tmp, rx,
+                     preferred_element_type=jnp.float32)
+    coverage = ry.sum(axis=1)[:, None] * rx.sum(axis=1)[None, :]
+    return out + (1.0 - coverage)[..., None] * fill
 
 
 # ---------------------------------------------------------------------------

@@ -111,15 +111,40 @@ def create_optimizer(optimizer_params: dict,
     """Config-driven optimizer factory (parity: train_builder.py:8-31).
 
     ``lr_schedule`` (built by schedulers.create_lr_schedule) overrides the
-    static config lr.  ``accumulation_steps > 1`` wraps the transformation in
+    static config lr.  ``lr_groups`` maps param-path prefixes to custom lrs
+    (parity: train_builder.py:12-16 per-submodule lr groups).
+    ``accumulation_steps > 1`` wraps the transformation in
     ``optax.MultiSteps`` (parity: trainer accumulation, train.py:66-85).
     """
     params = dict(optimizer_params)
     name = params.pop('name')
     lr = lr_schedule if lr_schedule is not None else params.pop('lr')
     params.pop('lr', None)
+    lr_groups = params.pop('lr_groups', None)
     factory = OPTIMIZERS[name]
-    tx = factory(lr, **params)
+
+    if lr_groups:
+        transforms = {'__default__': factory(lr, **params)}
+        for prefix, group_lr in lr_groups.items():
+            transforms[prefix] = factory(group_lr, **params)
+
+        def label_fn(tree):
+            import jax
+
+            def label_path(path):
+                joined = '.'.join(str(getattr(k, 'key', k)) for k in path)
+                for prefix in lr_groups:
+                    if joined.startswith(prefix):
+                        return prefix
+                return '__default__'
+
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: label_path(path), tree)
+
+        tx = optax.multi_transform(transforms, label_fn)
+    else:
+        tx = factory(lr, **params)
+
     if accumulation_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulation_steps)
     return tx

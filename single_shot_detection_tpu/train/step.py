@@ -17,7 +17,6 @@ choreography to maintain.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax

@@ -108,3 +108,17 @@ def test_plateau_controller():
     assert p.update(0.5) == 1.0   # improved
     assert p.update(0.6) == 1.0   # bad 1
     assert p.update(0.7) == 0.5   # bad 2 > patience -> decay
+
+
+def test_lr_groups(rng):
+    import jax.numpy as jnp
+    params = {'backbone': {'w': jnp.ones(3)}, 'head': {'w': jnp.ones(3)}}
+    grads = {'backbone': {'w': jnp.ones(3)}, 'head': {'w': jnp.ones(3)}}
+    tx = optimizers.create_optimizer(
+        {'name': 'SGD', 'lr': 0.1, 'lr_groups': {'head': 0.01}})
+    state = tx.init(params)
+    import optax
+    updates, _ = tx.update(grads, state, params)
+    new = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(np.asarray(new['backbone']['w']), 0.9, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(new['head']['w']), 0.99, rtol=1e-6)
