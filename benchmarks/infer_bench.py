@@ -1,0 +1,57 @@
+"""Inference throughput + latency: forward + decode + batched NMS, one chip.
+
+The north-star metric includes inference images/sec (BASELINE.md); this
+measures the full fused inference program (the exported-model path) for
+SSD300-MobileNetV2 at several batch sizes.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    import __graft_entry__ as ge
+    from single_shot_detection_tpu.ops.postprocess import Postprocessor
+
+    on_tpu = jax.devices()[0].platform != 'cpu'
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    bundle = ge._flagship(img_size=300, dtype=dtype)
+    anchors = jnp.asarray(bundle.anchors())
+    coder, *_ = ge._training_pieces(bundle)
+    pp = Postprocessor(coder, score_threshold=0.01, max_total=200,
+                       nms={'max_per_class': 100, 'overlap_threshold': 0.45})
+    variables = bundle.init(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def infer(variables, images):
+        scores, locs = bundle.module.apply(variables, images, train=False)
+        return pp(scores.astype(jnp.float32), locs.astype(jnp.float32),
+                  anchors)
+
+    results = {}
+    rng = np.random.RandomState(0)
+    for batch in (1, 8, 32):
+        images = jnp.asarray(rng.rand(batch, 300, 300, 3).astype(np.float32))
+        out = infer(variables, images)
+        jax.block_until_ready(out)
+        best = None
+        for _ in range(3):
+            times = []
+            for _ in range(20):
+                t0 = time.perf_counter()
+                out = infer(variables, images)
+                jax.block_until_ready(out)
+                times.append(time.perf_counter() - t0)
+            p50 = float(np.percentile(times, 50))
+            best = p50 if best is None else min(best, p50)
+        results[f'b{batch}_p50_ms'] = round(best * 1e3, 3)
+        results[f'b{batch}_img_s'] = round(batch / best, 1)
+    print(json.dumps(results))
+
+
+if __name__ == '__main__':
+    main()

@@ -237,6 +237,36 @@ def crop_op(rng, state, min_iou=0.5, aspect_ratio_range=(0.5, 2.0),
     return (out_w, out_h, out_ox, out_oy, new_boxes, new_mask)
 
 
+def rotate90(rng, img, boxes, mask):
+    """Random 90-degree rotation (parity: functional/img.py:37-53 +
+    box.py:33-59, which require square images).
+
+    Exact array rotation instead of the reference's ``warpAffine`` about
+    ``(S/2, S/2)`` (which misaligns by half a pixel for even sizes); boxes
+    rotate corner-exactly.  Applied eagerly on the staged image before any
+    view-window op.
+    """
+    assert img.shape[0] == img.shape[1], 'RandomRotate requires square input'
+    size = img.shape[0]
+    k = jax.random.randint(rng, (), 0, 4)
+
+    img = jax.lax.switch(k, [lambda m: m,
+                             lambda m: jnp.rot90(m, 1),
+                             lambda m: jnp.rot90(m, 2),
+                             lambda m: jnp.rot90(m, 3)], img)
+
+    def rot_once(b4):
+        # pixel (x, y) -> (y, size-1-x) under one array rot90
+        return jnp.stack([b4[:, 1], size - 1 - b4[:, 2],
+                          b4[:, 3], size - 1 - b4[:, 0]], axis=-1)
+
+    variants = [boxes[:, :4]]
+    for _ in range(3):
+        variants.append(rot_once(variants[-1]))
+    b4 = jnp.select([k == i for i in range(4)], variants)
+    return img, jnp.concatenate([b4, boxes[:, 4:]], axis=-1), mask
+
+
 def hflip_boxes(state, flip):
     cur_w, cur_h, ox, oy, boxes, mask = state
     flipped = jnp.stack([cur_w - 1 - boxes[:, 2], boxes[:, 1],
@@ -325,7 +355,12 @@ class Pipeline:
             args = dict(spec.get('args', {}))
             p = args.pop('p', 0.5)
             if name in ('ToFloat', 'ToUint8', 'Identity'):
-                continue
+                continue  # dtype staging is implicit on-device
+            elif name == 'RandomRotate':
+                if any(kind in ('expand', 'oneof') for kind, _ in self.geometric):
+                    raise NotImplementedError(
+                        'RandomRotate must precede expand/crop on-device')
+                self.geometric.append(('rot90', {}))
             elif name == 'RandomAdjustBrightness':
                 self.photometric.append(('brightness', {
                     'max_delta': args['max_brightness_delta'], 'p': p}))
@@ -408,7 +443,12 @@ class Pipeline:
 
         for kind, kw in self.geometric:
             key = keys[ki]; ki += 1
-            if kind == 'expand':
+            if kind == 'rot90':
+                cur_w, cur_h, ox, oy, bx, mk = state
+                img, bx, mk = rotate90(key, img, bx, mk)
+                fill = jnp.mean(img, axis=(0, 1))
+                state = (cur_w, cur_h, ox, oy, bx, mk)
+            elif kind == 'expand':
                 state = expand_op(key, state, kw['aspect_ratio_range'],
                                   kw['area_range'], kw['p'])
             elif kind == 'oneof':

@@ -36,6 +36,30 @@ SCORE_INDEX = 5
 TARGET_SIZE = 6
 
 
+def match_bipartite(weights: jnp.ndarray, gt_mask: jnp.ndarray):
+    """Greedy global-argmax bipartite matching (parity: matcher.py:7-31).
+
+    Each round picks the globally best (gt, anchor) pair, then zeroes that
+    row and column.  Returns ``anchor_idx [G]`` (the anchor matched to each
+    GT; padded rows get arbitrary values — mask with ``gt_mask``).
+    """
+    num_gt, num_anchors = weights.shape
+    w0 = jnp.where(gt_mask[:, None], jnp.nan_to_num(weights), 0.0)
+
+    def body(_, carry):
+        w, anchor_idx = carry
+        flat = jnp.argmax(w)
+        row, col = flat // num_anchors, flat % num_anchors
+        anchor_idx = anchor_idx.at[row].set(col.astype(jnp.int32))
+        w = w * (jnp.arange(num_anchors)[None, :] != col)
+        w = w * (jnp.arange(num_gt)[:, None] != row)
+        return w, anchor_idx
+
+    _, anchor_idx = jax.lax.fori_loop(
+        0, num_gt, body, (w0, jnp.zeros((num_gt,), jnp.int32)))
+    return anchor_idx
+
+
 def match_per_prediction(weights: jnp.ndarray,
                          gt_mask: jnp.ndarray,
                          matched_threshold: float,

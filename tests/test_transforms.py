@@ -166,3 +166,48 @@ def test_full_train_pipeline_runs(rng):
         outs.append(np.asarray(out))
     # different seeds produce different augmentations
     assert not np.allclose(outs[0], outs[1])
+
+
+def test_random_rotate_consistency(rng):
+    """Rotated boxes still frame the rotated content."""
+    import jax
+    from single_shot_detection_tpu.data.transforms import rotate90
+    img = np.zeros((32, 32, 3), np.float32)
+    img[4:12, 20:30] = 255.0  # patch at rows 4..11, cols 20..29
+    boxes = jnp.asarray([[20.0, 4, 29, 11, 1, 1, 0]])
+    mask = jnp.asarray([True])
+    for seed in range(8):
+        out_img, out_boxes, _ = rotate90(jax.random.PRNGKey(seed),
+                                         jnp.asarray(img), boxes, mask)
+        b = np.asarray(out_boxes[0, :4]).astype(int)
+        oi = np.asarray(out_img)
+        inside = oi[b[1]:b[3] + 1, b[0]:b[2] + 1]
+        assert inside.mean() > 200  # the patch is inside the rotated box
+        total_bright = (oi > 200).sum()
+        assert total_bright == (img > 200).sum()  # nothing lost
+
+
+def test_random_rotate_pipeline():
+    import jax
+    pipe = Pipeline(augmentations=[{'name': 'RandomRotate'},
+                                   {'name': 'RandomHorizontalFlip'}],
+                    preprocessing=PREPROCESSING, input_size=(32, 32))
+    img = np.random.RandomState(0).randint(0, 255, (2, 32, 32, 3), np.uint8)
+    boxes = np.zeros((2, 2, 7), np.float32)
+    boxes[:, 0] = [4, 4, 20, 20, 1, 1, 0]
+    mask = np.zeros((2, 2), bool)
+    mask[:, 0] = True
+    out, ob, om = pipe(jax.random.PRNGKey(1), jnp.asarray(img),
+                       jnp.asarray(boxes), jnp.asarray(mask))
+    assert np.isfinite(np.asarray(out)).all()
+    assert (np.asarray(ob)[..., :4] <= 31).all()
+
+
+def test_match_bipartite():
+    import jax.numpy as jnp
+    from single_shot_detection_tpu.ops.matching import match_bipartite
+    w = jnp.asarray([[0.9, 0.1, 0.2],
+                     [0.8, 0.7, 0.3]])
+    idx = np.asarray(match_bipartite(w, jnp.asarray([True, True])))
+    assert idx[0] == 0   # global best
+    assert idx[1] == 1   # column 0 consumed
