@@ -99,10 +99,14 @@ class Experiment:
         self.loaders = {}
         if self.datasets:
             train_cfg = dict(cfg.train) if cfg.train else {}
+            # staging_size > input_size keeps more resolution for the
+            # on-device crop/zoom augmentations (the reference crops the
+            # original image; staging at input_size loses detail on zoom-in)
+            staging = tuple(train_cfg.get('staging_size', input_size))
             self.loaders = create_loaders(
                 self.datasets,
                 batch_size=cfg.batch_size or 32,
-                staging_size=input_size,
+                staging_size=staging,
                 shuffle=bool(cfg.shuffle),
                 num_workers=cfg.num_workers or 4,
                 max_gt=(train_cfg.get('max_gt', 100)),
@@ -310,7 +314,8 @@ class Experiment:
         image_offset = 0
 
         for batch in loader:
-            device_batch = self._augment(batch, train=False, salt=0)
+            device_batch, full_boxes = self._augment(batch, train=False,
+                                                     salt=0, with_full=True)
             metrics, dets, valid = self.eval_step(self.state, device_batch)
             count += 1
             for k in sums:
@@ -319,6 +324,8 @@ class Experiment:
             dets = np.asarray(jax.device_get(dets))
             valid = np.asarray(jax.device_get(valid))
             mask = np.asarray(jax.device_get(device_batch['box_mask']))
+            # pipeline-space GT (input_size coords, 7 cols incl. difficult)
+            gt_boxes = np.asarray(jax.device_get(full_boxes))
             ids = batch['ids']
             for i in range(dets.shape[0]):
                 if ids[i] < 0:
@@ -326,8 +333,7 @@ class Experiment:
                 d = dets[i][valid[i]]
                 for row in d:
                     all_preds.append([image_offset, *row])
-                # host-side boxes carry the difficult column for the metric
-                all_gts.append(batch['boxes'][i][mask[i]])
+                all_gts.append(gt_boxes[i][mask[i]])
                 image_offset += 1
 
         result = {k: v / max(count, 1) for k, v in sums.items()}
@@ -347,12 +353,17 @@ class Experiment:
         return result
 
     # ---------------------------------------------------------------- helpers
-    def _augment(self, batch: dict, train: bool, salt: int) -> dict:
+    def _augment(self, batch: dict, train: bool, salt: int,
+                 with_full: bool = False):
         pipeline = self.train_pipeline if train else self.eval_pipeline
         key = jax.random.fold_in(jax.random.fold_in(self.rng, 91), salt)
         images, boxes, mask = pipeline(key, batch['image'],
                                        batch['boxes'], batch['box_mask'])
-        return {'image': images, 'boxes': boxes[..., :6], 'box_mask': mask}
+        device_batch = {'image': images, 'boxes': boxes[..., :6],
+                        'box_mask': mask}
+        if with_full:
+            return device_batch, boxes
+        return device_batch
 
     def predict(self, image: np.ndarray):
         """Single-image inference (parity: detector_wrapper.py:49-65):
