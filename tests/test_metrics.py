@@ -58,3 +58,43 @@ def test_low_iou_is_false_positive():
     preds = np.array([[0, 8, 8, 18, 18, 1, 0.9]])  # iou ~ 0.02
     ap = mean_average_precision(preds, gts, LABELS, 0.5, verbose=False)
     np.testing.assert_allclose(ap, 0.0)
+
+
+def test_vectorized_matches_loop_implementation():
+    from single_shot_detection_tpu.ops.metrics import (
+        mean_average_precision_loop)
+    rng = np.random.RandomState(7)
+    for trial in range(10):
+        num_images = rng.randint(2, 6)
+        gts = []
+        for _ in range(num_images):
+            n = rng.randint(1, 6)
+            rows = np.zeros((n, 7))
+            for i in range(n):
+                x, y = rng.rand(2) * 80
+                w, h = rng.rand(2) * 30 + 5
+                rows[i] = [x, y, x + w, y + h, rng.randint(1, 4), 1.0,
+                           rng.rand() < 0.2]
+            gts.append(rows)
+        preds = []
+        for img_id, gt in enumerate(gts):
+            for row in gt:
+                if rng.rand() < 0.8:  # near-hit
+                    jitter = rng.randn(4) * 3
+                    preds.append([img_id, *(row[:4] + jitter),
+                                  row[4] if rng.rand() < 0.9
+                                  else rng.randint(1, 4), rng.rand()])
+            for _ in range(rng.randint(0, 4)):  # noise
+                x, y = rng.rand(2) * 80
+                preds.append([img_id, x, y, x + 10, y + 10,
+                              rng.randint(1, 4), rng.rand()])
+        preds = np.asarray(preds)
+        fast = mean_average_precision(preds, gts, {}, 0.5, verbose=False)
+        slow = mean_average_precision_loop(preds, gts, {}, 0.5, verbose=False)
+        np.testing.assert_allclose(fast, slow, atol=1e-9,
+                                   err_msg=f'trial {trial}')
+        fast_voc = mean_average_precision(preds, gts, {}, 0.5, voc=True,
+                                          verbose=False)
+        slow_voc = mean_average_precision_loop(preds, gts, {}, 0.5, voc=True,
+                                               verbose=False)
+        np.testing.assert_allclose(fast_voc, slow_voc, atol=1e-9)
