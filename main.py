@@ -57,9 +57,21 @@ def main(args):
         level=logging.DEBUG if args.debug else logging.INFO,
         format='%(message)s', stream=sys.stdout, force=True)
 
+    import os
+
+    import jax
     if args.cpu:
-        import jax
         jax.config.update('jax_platforms', 'cpu')
+    else:
+        # ensure a host CPU backend exists next to the accelerator (cheap
+        # param init runs there; see engine.py) — some environments pin
+        # JAX_PLATFORMS to the accelerator plugin only
+        platforms = os.environ.get('JAX_PLATFORMS')
+        if platforms and 'cpu' not in platforms:
+            try:
+                jax.config.update('jax_platforms', platforms + ',cpu')
+            except Exception:
+                pass
 
     from single_shot_detection_tpu.parallel import initialize_distributed
     initialize_distributed(args.coordinator_address, args.num_processes,

@@ -347,7 +347,10 @@ class Synthetic(DetectionDataset):
                              tuple(['background'] +
                                    [f'class_{i}' for i in range(1, num_classes)]))
         self.annotations = []
-        palette = rng.randint(64, 255, size=(num_classes, 3))
+        # class appearance must be split-independent (train and eval share
+        # the class->color mapping), so the palette has its own fixed seed
+        palette = np.random.RandomState(1234).randint(
+            64, 255, size=(num_classes, 3))
         for _ in range(num_images):
             img = rng.randint(0, 48, size=(image_size, image_size, 3),
                               dtype=np.uint8)

@@ -179,10 +179,23 @@ class Experiment:
             self.tx = pruning.masked(self.tx)
 
         # --- state -----------------------------------------------------------
-        variables = self.bundle.init(
-            jax.random.fold_in(self.rng, 17),
-            batch_size=1)
-        self.state = create_train_state(variables, self.tx)
+        # Initialize on host CPU when available: init runs dozens of tiny
+        # kernels that are pure overhead to compile for the accelerator.
+        init_rng = jax.random.fold_in(self.rng, 17)
+        cpu_devices = []
+        try:
+            cpu_devices = jax.local_devices(backend='cpu')
+        except RuntimeError:
+            pass
+        default = jax.devices()[0]
+        if cpu_devices and default.platform != 'cpu':
+            with jax.default_device(cpu_devices[0]):
+                variables = self.bundle.init(init_rng, batch_size=1)
+            self.state = create_train_state(variables, self.tx)
+            self.state = jax.device_put(self.state, default)
+        else:
+            variables = self.bundle.init(init_rng, batch_size=1)
+            self.state = create_train_state(variables, self.tx)
         self.start_epoch = 0
 
         weight_file = detector_cfg.get('weight')

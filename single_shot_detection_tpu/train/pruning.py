@@ -407,7 +407,13 @@ class Pruner:
         return m.reshape(shape)
 
     def _apply_mask_updates(self, opt_state, params, mask_updates):
-        """Install per-channel masks into the ``masked()`` wrapper state."""
+        """Install per-channel masks into the ``masked()`` wrapper state.
+
+        Containers are rebuilt first so the caller's state object is never
+        mutated (leaves stay shared — jax arrays are immutable anyway).
+        """
+        opt_state = jax.tree_util.tree_map(lambda x: x, opt_state)
+
         def find_masked(node):
             if isinstance(node, dict) and 'mask' in node and 'inner' in node:
                 return node
