@@ -223,9 +223,11 @@ class Experiment:
                 num=self.pruner_cfg.get('num', 1))
 
         # --- steps ------------------------------------------------------------
+        # augmentation fuses into the train step: one dispatch per step
         self.train_step = make_train_step(
             self.bundle.module, self.criterion, self.assigner, self.anchors,
-            self.tx, mixup=train_cfg.get('mixup'))
+            self.tx, mixup=train_cfg.get('mixup'),
+            pipeline=self.train_pipeline)
         self.eval_step = make_eval_step(
             self.bundle.module, self.criterion, self.assigner, self.anchors,
             self.postprocessor)
@@ -259,8 +261,9 @@ class Experiment:
             for step, batch in enumerate(loader):
                 if step >= num_batches:
                     break
-                device_batch = self._augment(batch, train=True,
-                                             salt=epoch * num_batches + step)
+                device_batch = {'image': batch['image'],
+                                'boxes': batch['boxes'],
+                                'box_mask': batch['box_mask']}
                 self.state, metrics = self.train_step(
                     self.state, device_batch,
                     jax.random.fold_in(self.rng, epoch * num_batches + step))

@@ -58,15 +58,28 @@ def make_train_step(module,
                     anchors,
                     tx: optax.GradientTransformation,
                     mixup: Optional[dict] = None,
+                    pipeline=None,
                     donate: bool = True) -> Callable:
     """Build the jitted train step (parity: init.py:101-135 ``step_fn`` +
-    callbacks optimizer/loss/mixup)."""
+    callbacks optimizer/loss/mixup).
+
+    When ``pipeline`` (data.transforms.Pipeline) is given, the on-device
+    augmentation fuses INTO the step: the batch carries raw staged uint8
+    images + 7-col boxes and the whole epoch iteration is one XLA program
+    dispatch per step.
+    """
     anchors = jnp.asarray(anchors)
 
     def train_step(state, batch, rng):
         images = batch['image']
         boxes = batch['boxes']
         box_mask = batch['box_mask']
+
+        if pipeline is not None:
+            aug_rng, rng = jax.random.split(rng)
+            images, boxes, box_mask = pipeline._run_batch(
+                aug_rng, images, boxes, box_mask)
+            boxes = boxes[..., :6]
 
         if mixup is not None:
             images, boxes, box_mask = apply_mixup(
