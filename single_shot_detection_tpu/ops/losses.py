@@ -73,7 +73,9 @@ class CrossEntropyLoss(_Loss):
             valid = valid & mask
         logp = jax.nn.log_softmax(logits, axis=-1)
         safe = jnp.maximum(target, 0)
-        ce = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        # one-hot reduction instead of take_along_axis (gather) — TPU-friendly
+        onehot = jax.nn.one_hot(safe, logits.shape[-1], dtype=logp.dtype)
+        ce = -jnp.sum(logp * onehot, axis=-1)
         return _masked_reduce(ce, valid, self.reduction)
 
 
@@ -132,7 +134,8 @@ class SoftmaxFocalLoss(_Loss):
             valid = valid & mask
         logp = jax.nn.log_softmax(logits, axis=-1)
         safe = jnp.maximum(target, 0)
-        logpb = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        onehot = jax.nn.one_hot(safe, logits.shape[-1], dtype=logp.dtype)
+        logpb = jnp.sum(logp * onehot, axis=-1)
         pb = jnp.exp(logpb)
         loss = -((1.0 - pb) ** self.gamma) * logpb
         if self.alpha is not None:

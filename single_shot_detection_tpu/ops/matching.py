@@ -116,7 +116,10 @@ def _assign_single(gt, gt_mask, corner_anchors, matched_threshold, unmatched_thr
     matched = box_idx >= 0
     ignored = box_idx == IGNORE
     safe_idx = jnp.maximum(box_idx, 0)
-    picked = gt[safe_idx]  # [A, 6]
+    # one-hot matmul instead of a gather (gathers are slow on TPU; G is tiny)
+    onehot = (safe_idx[:, None] == jnp.arange(gt.shape[0])[None, :])
+    picked = jnp.dot(onehot.astype(gt.dtype), gt,
+                     preferred_element_type=gt.dtype)  # [A, 6]
 
     loc = jnp.where(matched[:, None], picked[:, LOC_INDEX_START:LOC_INDEX_END], 0.0)
     cls = jnp.where(matched, picked[:, CLASS_INDEX],
