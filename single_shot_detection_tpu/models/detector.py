@@ -38,6 +38,7 @@ class ExtraLayer(nn.Module):
     type: str
     out_channels: int
     use_depthwise: bool = False
+    reduce_features: Optional[int] = None  # pruning-materialize override
     activation: Optional[str] = 'ReLU'
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
@@ -46,16 +47,18 @@ class ExtraLayer(nn.Module):
     def __call__(self, x, train: bool = False):
         common = dict(activation=self.activation, axis_name=self.axis_name,
                       dtype=self.dtype)
+        reduce_f = (self.reduce_features if self.reduce_features is not None
+                    else self.out_channels // 2)
         if self.type == 'm':
             return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         if self.type == 's':
-            x = ConvBn(self.out_channels // 2, kernel_size=1, name='reduce',
+            x = ConvBn(reduce_f, kernel_size=1, name='reduce',
                        **common)(x, train)
             conv_op = DepthwiseConvBn if self.use_depthwise else ConvBn
             return conv_op(self.out_channels, kernel_size=3, stride=2,
                            padding=1, name='expand', **common)(x, train)
         if self.type == '':
-            x = ConvBn(self.out_channels // 2, kernel_size=1, name='reduce',
+            x = ConvBn(reduce_f, kernel_size=1, name='reduce',
                        **common)(x, train)
             conv_op = DepthwiseConvBn if self.use_depthwise else ConvBn
             return conv_op(self.out_channels, kernel_size=3, padding=0,
@@ -124,6 +127,7 @@ class Detector(nn.Module):
     use_depthwise: bool = False
     predictor: Optional[dict] = None
     score_head_bias_init: float = 0.0
+    extras_overrides: Any = None  # per-extra {'reduce': n, 'out': n} widths
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
 
@@ -133,7 +137,11 @@ class Detector(nn.Module):
         sources = list(sources)
 
         for i, (type_, out_channels) in enumerate(self.extras):
-            x = ExtraLayer(type_, out_channels, self.use_depthwise,
+            override = (self.extras_overrides[i]
+                        if self.extras_overrides else None) or {}
+            x = ExtraLayer(type_, override.get('out', out_channels),
+                           self.use_depthwise,
+                           reduce_features=override.get('reduce'),
                            axis_name=self.axis_name, dtype=self.dtype,
                            name=f'extra{i}')(x, train)
             sources.append(x)

@@ -58,18 +58,21 @@ class InvertedResidual(nn.Module):
     features: int
     stride: int
     expansion_ratio: int
+    inner_features: Optional[int] = None  # pruning-materialize override
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         in_features = x.shape[-1]
-        inner = in_features * self.expansion_ratio
+        inner = (self.inner_features if self.inner_features is not None
+                 else in_features * self.expansion_ratio)
         residual = in_features == self.features and self.stride == 1
         aux = {}
 
         h = x
-        if inner > in_features:
+        # structure follows the expansion ratio; widths may be overridden
+        if self.expansion_ratio > 1:
             h = nn.Conv(inner, (1, 1), use_bias=False, dtype=self.dtype,
                         name='expand_conv')(h)
             h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -116,6 +119,8 @@ class MobileNetV2(nn.Module):
 
     depth_multiplier: float = 1.0
     min_depth: int = 4
+    width_overrides: Any = None  # {stage: {'features': n, 'inner': n}} —
+    #                               pruning-materialize narrow widths
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
 
@@ -124,18 +129,30 @@ class MobileNetV2(nn.Module):
     def depth(self, d: int) -> int:
         return max(int(d * self.depth_multiplier), self.min_depth)
 
+    def _width(self, stage: int, default: int, key: str = 'features') -> int:
+        if self.width_overrides and stage in self.width_overrides:
+            return self.width_overrides[stage].get(key, default) or default
+        return default
+
+    def _inner(self, stage: int):
+        if self.width_overrides and stage in self.width_overrides:
+            return self.width_overrides[stage].get('inner')
+        return None
+
     @nn.compact
     def __call__(self, x, train: bool = False, max_stage: Optional[int] = None):
         last = self.num_stages - 1 if max_stage is None else max_stage
         stages = []
         aux = {}
-        x = _ConvBn(self.depth(32), 3, stride=2, axis_name=self.axis_name,
+        x = _ConvBn(self._width(0, self.depth(32)), 3, stride=2,
+                    axis_name=self.axis_name,
                     dtype=self.dtype, name='stage0')(x, train)
         stages.append(x)
         for i, (f, s, e) in enumerate(_MBV2_STAGES, start=1):
             if i > last:
                 return stages, aux
-            x, block_aux = InvertedResidual(self.depth(f), s, e,
+            x, block_aux = InvertedResidual(self._width(i, self.depth(f)), s, e,
+                                            inner_features=self._inner(i),
                                             axis_name=self.axis_name,
                                             dtype=self.dtype,
                                             name=f'stage{i}')(x, train)
@@ -143,7 +160,8 @@ class MobileNetV2(nn.Module):
             for k, v in block_aux.items():
                 aux[(i, k)] = v
         if last >= 18:
-            x = _ConvBn(self.depth(1280), 1, axis_name=self.axis_name,
+            x = _ConvBn(self._width(18, self.depth(1280)), 1,
+                        axis_name=self.axis_name,
                         dtype=self.dtype, name='stage18')(x, train)
             stages.append(x)
         return stages, aux

@@ -381,6 +381,19 @@ class Experiment:
             return device_batch, boxes
         return device_batch
 
+    def materialize_pruned(self):
+        """Physically shrink the model along pruned channels (deploy-time
+        analog of the reference's in-place surgery; see train/materialize.py).
+        Returns (bundle, variables) for export/inference."""
+        if self.pruner is None or not self.pruner.dead:
+            raise ValueError('nothing pruned to materialize')
+        from single_shot_detection_tpu.train.materialize import materialize_bundle
+        return materialize_bundle(
+            self.bundle,
+            {'params': self.state.params,
+             'batch_stats': self.state.batch_stats},
+            self.pruner.dead)
+
     def predict(self, image: np.ndarray):
         """Single-image inference (parity: detector_wrapper.py:49-65):
         resize -> normalize -> forward -> postprocess -> rescale to source."""
