@@ -45,9 +45,13 @@ class VideoViewer:
             logging.error(f'XX cannot open {self.path}')
 
     def run(self):
+        import os
         try:
             import cv2
-            interactive = True
+            # cv2.imshow aborts (C-level) without a display — never try
+            # interactive mode headless
+            interactive = bool(os.environ.get('DISPLAY')
+                               or os.environ.get('WAYLAND_DISPLAY'))
         except ImportError:
             cv2 = None
             interactive = False

@@ -182,9 +182,9 @@ def test_video_viewer_headless(tmp_path):
         Image.fromarray(rng.randint(0, 255, (100, 120, 3), np.uint8)).save(
             frames / f'{i}.jpg')
     viewer = VideoViewer(str(frames), exp)
-    # drive the frame loop through predict; cv2.imshow may fail headless,
-    # in which case frames are saved to /tmp instead
-    try:
-        viewer.run()
-    except Exception as exc:  # headless cv2 raises on imshow
-        assert 'display' in str(exc).lower() or 'GTK' in str(exc) or True
+    # headless (no DISPLAY): the viewer saves annotated frames instead of
+    # calling cv2.imshow (which aborts at C level without a display)
+    os.environ.pop('DISPLAY', None)
+    viewer.run()
+    saved = sorted(os.listdir('/tmp/ssd_tpu_frames'))
+    assert len(saved) >= 2
