@@ -103,6 +103,28 @@ def _register_all():
         pass
 
     try:
+        from single_shot_detection_tpu.models.resnet import SEResNet
+
+        for name, depth_layers in [('se_resnet50', (3, 4, 6, 3)),
+                                   ('se_resnet101', (3, 4, 23, 3)),
+                                   ('se_resnet152', (3, 8, 36, 3))]:
+            register(f'pretrainedmodels_{name}', functools.partial(
+                lambda layers, **kw: SEResNet(
+                    layers=layers,
+                    **{k: v for k, v in kw.items() if k in ('axis_name', 'dtype')}),
+                depth_layers))
+        for name, layers, groups, width in [
+                ('se_resnext50_32x4d', (3, 4, 6, 3), 32, 4),
+                ('se_resnext101_32x4d', (3, 4, 23, 3), 32, 4)]:
+            register(f'pretrainedmodels_{name}', functools.partial(
+                lambda layers, groups, width, **kw: SEResNet(
+                    layers=layers, groups=groups, width_per_group=width,
+                    **{k: v for k, v in kw.items() if k in ('axis_name', 'dtype')}),
+                layers, groups, width))
+    except ImportError:
+        pass
+
+    try:
         from single_shot_detection_tpu.models.shufflenet_v2 import ShuffleNetV2, SHUFFLENET_WIDTHS
 
         for mult, suffix in [(0.5, 'x0_5'), (1.0, 'x1_0'), (1.5, 'x1_5'), (2.0, 'x2_0')]:

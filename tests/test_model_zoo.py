@@ -182,3 +182,22 @@ def test_small_forward_retina_path():
     import numpy as np
     mean_sigmoid = float(jax.nn.sigmoid(scores).mean())
     assert 0.005 < mean_sigmoid < 0.05
+
+
+def test_se_resnet_backbone():
+    from single_shot_detection_tpu.models import backbones
+    m = backbones.get('pretrainedmodels_se_resnet50')()
+    out, _ = jax.eval_shape(
+        lambda: m.init_with_output(jax.random.PRNGKey(0),
+                                   jnp.zeros((1, 224, 224, 3))))
+    stages, _ = out
+    # _senet_wrapper indexing: [layer0, layer1..4] (base_builder.py:44-57)
+    assert [s.shape[-1] for s in stages] == [64, 256, 512, 1024, 2048]
+    assert stages[-1].shape[1] == 7
+    # SE gate actually runs forward
+    m2 = backbones.get('pretrainedmodels_se_resnext50_32x4d')()
+    variables = m2.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    stages, _ = m2.apply(variables, jnp.ones((1, 64, 64, 3)))
+    import numpy as np
+    assert np.isfinite(np.asarray(stages[-1])).all()
+    assert 'se' in variables['params']['layer1_0']
