@@ -211,3 +211,50 @@ def test_match_bipartite():
     idx = np.asarray(match_bipartite(w, jnp.asarray([True, True])))
     assert idx[0] == 0   # global best
     assert idx[1] == 1   # column 0 consumed
+
+
+def test_boxes_track_content_through_full_pipeline(rng):
+    """Property: a bright patch framed by a GT box stays inside the
+    transformed box through photometric + expand + crop + flip + resize."""
+    augmentations = [
+        {'name': 'RandomAdjustBrightness', 'args': {'max_brightness_delta': .05}},
+        {'name': 'RandomExpand',
+         'args': {'aspect_ratio_range': (0.5, 2.0), 'area_range': (1.0, 9.0)}},
+        {'name': 'OneOf', 'args': {'transforms': [
+            {'name': 'Identity'},
+            {'name': 'RandomCrop', 'args': {'min_iou': .1}},
+            {'name': 'RandomCrop', 'args': {'min_iou': .5}},
+        ]}},
+        {'name': 'RandomHorizontalFlip'},
+    ]
+    pipe = Pipeline(augmentations=augmentations,
+                    preprocessing=[{'name': 'ToFloatTensor',
+                                    'args': {'normalize': True}}],
+                    input_size=(64, 64), train=True)
+    img = np.zeros((1, 64, 64, 3), np.uint8)
+    img[0, 20:36, 12:32] = 255  # rows 20..35, cols 12..31
+    boxes = np.zeros((1, 2, 7), np.float32)
+    boxes[0, 0] = [12, 20, 31, 35, 1, 1, 0]
+    mask = np.zeros((1, 2), bool)
+    mask[0, 0] = True
+
+    checked = 0
+    for seed in range(12):
+        out, ob, om = pipe(jax.random.PRNGKey(seed), jnp.asarray(img),
+                           jnp.asarray(boxes), jnp.asarray(mask))
+        if not bool(om[0, 0]):
+            continue  # crop dropped the box
+        b = np.asarray(ob[0, 0, :4])
+        oi = np.asarray(out[0]).sum(-1)  # bright pixels >> dark/fill
+        bright = oi > oi.mean() + 2 * oi.std() if oi.std() > 0 else oi > 0.5
+        ys, xs = np.nonzero(bright)
+        if len(xs) < 6:
+            continue
+        checked += 1
+        # 80th-percentile extent of the bright patch must fall inside the
+        # (slightly padded) transformed box — bilinear edges bleed ~1px
+        x_lo, x_hi = np.percentile(xs, [10, 90])
+        y_lo, y_hi = np.percentile(ys, [10, 90])
+        assert b[0] - 2 <= x_lo and x_hi <= b[2] + 2, (seed, b, (x_lo, x_hi))
+        assert b[1] - 2 <= y_lo and y_hi <= b[3] + 2, (seed, b, (y_lo, y_hi))
+    assert checked >= 6
