@@ -253,3 +253,71 @@ def test_mean_average_precision_parity(rng):
     # class1: 1 TP of 1 non-difficult GT (image-1 GT is difficult: its match
     # neither counts nor FPs); class2: 1 TP of 1 -> both AP 1 except the FP
     assert 0.5 < value <= 1.0
+
+
+def _python_nms(boxes, scores, threshold):
+    """Greedy NMS with torchvision semantics, as a torch-compatible stub."""
+    order = torch.argsort(scores, descending=True)
+    keep = []
+    suppressed = torch.zeros(len(boxes), dtype=torch.bool)
+    for i in order.tolist():
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        if len(boxes) == 0:
+            continue
+        b = boxes[i]
+        x0 = torch.maximum(b[0], boxes[:, 0])
+        y0 = torch.maximum(b[1], boxes[:, 1])
+        x1 = torch.minimum(b[2], boxes[:, 2])
+        y1 = torch.minimum(b[3], boxes[:, 3])
+        inter = (x1 - x0).clamp(min=0) * (y1 - y0).clamp(min=0)
+        area_i = (b[2] - b[0]) * (b[3] - b[1])
+        areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+        iou = inter / (area_i + areas - inter)
+        suppressed |= (iou > threshold) & (scores <= scores[i])
+        suppressed[i] = True  # processed
+    return torch.tensor(keep, dtype=torch.long)
+
+
+def test_postprocessor_parity(rng):
+    """Full postprocess chain (softmax, decode, per-class NMS, global topk)
+    vs the reference Postprocessor with a python NMS stub."""
+    sys.modules['torchvision'].ops.nms = _python_nms
+    ref_pp_mod = _import_ref('detection.postprocessor')
+    ref_bc = _import_ref('detection.box_coder')
+    from single_shot_detection_tpu.ops.box_coder import BoxCoder
+    from single_shot_detection_tpu.ops.postprocess import Postprocessor
+
+    batch, num_anchors, classes = 2, 60, 5
+    priors = (rng.rand(num_anchors, 4).astype(np.float32) * 200 + 20)
+    scores = rng.randn(batch, num_anchors, classes).astype(np.float32) * 2
+    locs = rng.randn(batch, num_anchors, 4).astype(np.float32) * 0.3
+
+    cfg = dict(score_threshold=0.05, max_total=25,
+               nms={'max_per_class': 20, 'overlap_threshold': 0.45},
+               score_converter='SOFTMAX')
+    ref_pp = ref_pp_mod.Postprocessor(ref_bc.BoxCoder(10.0, 5.0), **cfg)
+    ref_out = ref_pp.postprocess(
+        (torch.from_numpy(scores.reshape(batch, -1).copy()),
+         torch.from_numpy(locs.reshape(batch, -1).copy())),
+        torch.from_numpy(priors.copy()))
+
+    our_pp = Postprocessor(BoxCoder(10.0, 5.0), use_pallas=False, **cfg)
+    dets, valid = our_pp(jnp.asarray(scores), jnp.asarray(locs),
+                         jnp.asarray(priors))
+    dets = np.asarray(dets)
+    valid = np.asarray(valid)
+
+    for b in range(batch):
+        ours = dets[b][valid[b]]
+        ref = ref_out[b].numpy()
+        assert ours.shape[0] == ref.shape[0], (b, ours.shape, ref.shape)
+        # compare as score-sorted sets (tie order may differ)
+        ours = ours[np.lexsort([ours[:, 4], -ours[:, 5]])]
+        ref = ref[np.lexsort([ref[:, 4], -ref[:, 5]])]
+        np.testing.assert_allclose(ours[:, 5], ref[:, 5], rtol=1e-4,
+                                   atol=1e-5)  # scores
+        np.testing.assert_allclose(ours[:, 4], ref[:, 4])  # classes
+        np.testing.assert_allclose(ours[:, :4], ref[:, :4], rtol=1e-3,
+                                   atol=1e-3)  # boxes
