@@ -167,3 +167,12 @@ def test_create_loaders_eval_batch_doubles():
     assert loaders['train'].batch_size == 2
     assert loaders['eval'].batch_size == 4
     assert loaders['train'].drop_last and not loaders['eval'].drop_last
+
+
+def test_loader_truncates_excess_gt():
+    ds = Synthetic(num_images=4, image_size=32, num_classes=3, max_boxes=6)
+    loader = Loader(ds, batch_size=4, staging_size=(32, 32), max_gt=2,
+                    num_workers=1)
+    batch = next(iter(loader))
+    assert batch['boxes'].shape == (4, 2, 7)
+    assert batch['box_mask'].sum(axis=1).max() <= 2

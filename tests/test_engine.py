@@ -188,3 +188,17 @@ def test_video_viewer_headless(tmp_path):
     viewer.run()
     saved = sorted(os.listdir('/tmp/ssd_tpu_frames'))
     assert len(saved) >= 2
+
+
+def test_gradient_accumulation_via_engine(tmp_path):
+    cfg = load_config(SMOKE)
+    cfg.config.train['epochs'] = 1
+    cfg.config.train['eval_every'] = 99
+    cfg.config.train['accumulation_steps'] = 2
+    exp = Experiment(cfg, phases=['train'], debug=True)
+    rows = exp.train()
+    assert np.isfinite(rows[-1]['train_loss'])
+    # 4 micro-steps / 2 = 2 optimizer updates recorded by MultiSteps, but
+    # state.step counts micro-steps (parity: global_step counts updates —
+    # the optimizer holds between accumulation boundaries)
+    assert int(exp.state.step) == 4

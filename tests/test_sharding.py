@@ -91,3 +91,52 @@ def test_shard_batch_places_on_data_axis():
     for v in sharded.values():
         assert v.sharding.spec[0] == 'data'
     assert batch_sharding(mesh).spec == P('data')
+
+
+def test_data_parallel_eval_step(rng):
+    """eval step (forward + postprocess incl. NMS) under the data mesh."""
+    from single_shot_detection_tpu.ops.postprocess import Postprocessor
+    from single_shot_detection_tpu.train import make_eval_step
+
+    bundle = builder.build(
+        base={'name': 'mobilenet_v2', 'depth_multiplier': 0.35},
+        anchor_generator={'type': 'ssd', 'num_scales': 1, 'min_scale': 0.3,
+                          'max_scale': 0.9, 'aspect_ratios': [[1.0]]},
+        num_classes=NUM_CLASSES,
+        features={'name': 'Features', 'out_layers': (18,)},
+        input_size=(IMG, IMG))
+    anchors = bundle.anchors()
+    coder = BoxCoder(10.0, 5.0)
+    sampler = functools.partial(sampling.hard_negative_mining,
+                                negative_per_positive_ratio=3,
+                                min_negative_per_image=2)
+    criterion = losses.MultiboxLoss(sampler, coder,
+                                    {'name': 'CrossEntropyLoss'},
+                                    {'name': 'SmoothL1Loss'})
+    assigner = matching.TargetAssigner(0.5)
+    pp = Postprocessor(coder, score_threshold=0.01, max_total=10,
+                       nms={'max_per_class': 5, 'overlap_threshold': 0.45},
+                       use_pallas=False)
+    tx = optimizers.create_optimizer({'name': 'SGD', 'lr': 1e-2})
+    state = create_train_state(bundle.init(jax.random.PRNGKey(0)), tx)
+    eval_step = make_eval_step(bundle.module, criterion, assigner, anchors, pp)
+
+    batch_np = {
+        'image': rng.rand(8, IMG, IMG, 3).astype(np.float32),
+        'boxes': np.tile(np.array([10, 10, 40, 40, 1, 1], np.float32),
+                         (8, 2, 1)),
+        'box_mask': np.ones((8, 2), bool),
+    }
+    mesh = create_mesh()
+    state_sh = jax.device_put(state, replicated(mesh))
+    batch8 = shard_batch(mesh, batch_np)
+    metrics, dets, valid = eval_step(state_sh, batch8)
+    assert np.isfinite(float(metrics['loss']))
+    assert dets.shape == (8, 10, 6)
+
+    # single-device agreement
+    batch1 = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    m1, d1, v1 = eval_step(state, batch1)
+    np.testing.assert_allclose(float(metrics['loss']), float(m1['loss']),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dets), np.asarray(d1), atol=1e-3)
