@@ -115,10 +115,41 @@ def resnet_mapping(layers) -> Dict[str, Tuple[str, ...]]:
     return m
 
 
+def shufflenet_v2_mapping(stage_repeats=(4, 8, 4)) -> Dict[str, Tuple[str, ...]]:
+    """torchvision shufflenet_v2 state_dict prefixes -> our param paths.
+
+    torchvision: conv1.[0 conv, 1 bn]; stage{2,3,4}.{i}.branch1.[0 dw, 1 bn,
+    2 pw, 3 bn] (stride units only) / branch2.[0 pw, 1 bn, 3 dw, 4 bn, 5 pw,
+    6 bn]; conv5.[0 conv, 1 bn].
+    """
+    m: Dict[str, Tuple[str, ...]] = {
+        'conv1.0': ('conv1',), 'conv1.1': ('conv1_bn',),
+        'conv5.0': ('conv5',), 'conv5.1': ('conv5_bn',),
+    }
+    for si, repeats in enumerate(stage_repeats, start=2):
+        for i in range(repeats):
+            base = f'stage{si}.{i}'
+            ours = f'stage{si}_{i}'
+            if i == 0:  # stride unit has branch1
+                m[f'{base}.branch1.0'] = (ours, 'branch1_dw')
+                m[f'{base}.branch1.1'] = (ours, 'branch1_dw_bn')
+                m[f'{base}.branch1.2'] = (ours, 'branch1_pw')
+                m[f'{base}.branch1.3'] = (ours, 'branch1_pw_bn')
+            m[f'{base}.branch2.0'] = (ours, 'branch2_pw1')
+            m[f'{base}.branch2.1'] = (ours, 'branch2_pw1_bn')
+            m[f'{base}.branch2.3'] = (ours, 'branch2_dw')
+            m[f'{base}.branch2.4'] = (ours, 'branch2_dw_bn')
+            m[f'{base}.branch2.5'] = (ours, 'branch2_pw2')
+            m[f'{base}.branch2.6'] = (ours, 'branch2_pw2_bn')
+    return m
+
+
 MAPPINGS = {
     'torchvision_mobilenet_v2': lambda: mobilenet_v2_mapping(),
     'mobilenet_v2': lambda: mobilenet_v2_mapping(),
 }
+for _suffix in ('x0_5', 'x1_0', 'x1_5', 'x2_0'):
+    MAPPINGS[f'torchvision_shufflenet_v2_{_suffix}'] = shufflenet_v2_mapping
 
 
 def import_backbone(state_dict: Dict[str, np.ndarray],

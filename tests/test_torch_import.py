@@ -97,3 +97,53 @@ def test_convbn_numerical_equivalence_with_torch(rng):
                        training=False, eps=1e-5)
     expected = out.numpy().transpose(0, 2, 3, 1)
     np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-4, atol=1e-4)
+
+
+def test_shufflenet_import_mapping(rng):
+    bundle = builder.build(
+        base={'name': 'torchvision_shufflenet_v2_x0_5'},
+        anchor_generator={'type': 'ssd', 'num_scales': 2, 'min_scale': 0.2,
+                          'max_scale': 0.9, 'aspect_ratios': [[1.0]] * 2},
+        num_classes=4,
+        features={'name': 'Features', 'out_layers': (3, 5)},
+        input_size=(96, 96))
+    variables = bundle.init(jax.random.PRNGKey(0))
+    mapping = torch_import.shufflenet_v2_mapping()
+    params = variables['params']['features']['base']
+
+    sd = {}
+    for torch_prefix, path in mapping.items():
+        node = params
+        ok = True
+        for k in path:
+            if k not in node:
+                ok = False
+                break
+            node = node[k]
+        if not ok:
+            continue
+        if 'scale' in node:
+            c = node['scale'].shape[0]
+            sd[f'{torch_prefix}.weight'] = torch.from_numpy(
+                rng.randn(c).astype(np.float32))
+            sd[f'{torch_prefix}.bias'] = torch.from_numpy(
+                rng.randn(c).astype(np.float32))
+            sd[f'{torch_prefix}.running_mean'] = torch.from_numpy(
+                rng.randn(c).astype(np.float32))
+            sd[f'{torch_prefix}.running_var'] = torch.from_numpy(
+                np.abs(rng.randn(c)).astype(np.float32) + 0.5)
+        else:
+            kh, kw, cin, cout = node['kernel'].shape
+            sd[f'{torch_prefix}.weight'] = torch.from_numpy(
+                rng.randn(cout, cin, kh, kw).astype(np.float32))
+    assert len(sd) > 50
+
+    new_vars = torch_import.import_backbone(
+        dict(sd), variables, 'torchvision_shufflenet_v2_x0_5')
+    kernel = new_vars['params']['features']['base']['stage2_0']['branch2_dw']['kernel']
+    expected = sd['stage2.0.branch2.3.weight'].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_array_equal(np.asarray(kernel), expected)
+    scores, _ = bundle.module.apply(
+        {'params': new_vars['params'], 'batch_stats': new_vars['batch_stats']},
+        jnp.ones((1, 96, 96, 3)), train=False)
+    assert np.isfinite(np.asarray(scores)).all()
