@@ -7,8 +7,11 @@ TPU-era flags replace their CUDA counterparts:
   --bf16                 replaces --amp/--amp-level (bf16 needs no loss scaling)
   --num-processes etc.   replace --distributed/--nproc/--master-port
                          (jax.distributed over ICI/DCN instead of NCCL spawn)
-``--parallel`` is implicit: a single process drives all local devices through
-the sharded jit step.
+``--parallel`` is implicit: ``Experiment`` builds a data mesh over all local
+devices (engine.py "--- mesh ---"), replicates the train state, and routes
+every batch through ``shard_batch`` / ``make_array_from_process_local_data``
+before the jitted step, so a single process drives all local devices and
+``--num-processes`` extends the same mesh across hosts.
 """
 
 import argparse

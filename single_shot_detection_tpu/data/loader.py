@@ -81,7 +81,13 @@ class Loader:
         if self.shuffle:
             rng = np.random.RandomState(self.seed + self.epoch)
             rng.shuffle(order)
-        # per-host shard (replaces DistributedSampler)
+        # equal-size per-host shards via wrap-around padding, so every
+        # process emits the same number of batches — required for the
+        # collective train/eval steps to agree across hosts (parity:
+        # torch DistributedSampler's sample repetition)
+        pad = (-n) % self.process_count
+        if pad:
+            order = np.concatenate([order, order[:pad]])
         return order[self.process_index::self.process_count]
 
     def __len__(self):
@@ -161,11 +167,14 @@ class Loader:
         stop = object()
 
         def producer():
+            # a decode/annotation error must surface in the consumer, not
+            # silently truncate the epoch: enqueue it and re-raise below
             try:
                 for idxs in batches:
                     q.put(self._make_batch(idxs, pool))
-            finally:
                 q.put(stop)
+            except BaseException as exc:  # noqa: BLE001
+                q.put(exc)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -174,6 +183,8 @@ class Loader:
                 item = q.get()
                 if item is stop:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             pool.shutdown(wait=False)
@@ -196,6 +207,6 @@ def create_loaders(datasets: dict, batch_size: int, staging_size,
             max_gt=max_gt,
             seed=seed,
             num_workers=num_workers,
-            process_count=process_count if phase == 'train' else 1,
-            process_index=process_index if phase == 'train' else 0)
+            process_count=process_count,
+            process_index=process_index)
     return loaders

@@ -97,6 +97,18 @@ class SmoothL1Loss(_Loss):
         return _masked_reduce(per_row, mask, self.reduction)
 
 
+class L1Loss(_Loss):
+    """Plain L1 summed over the last axis per row (parity: torch ``F.l1_loss``
+    — NOT Huber; the reference re-exports torch's L1Loss directly,
+    losses.py:4)."""
+
+    def __call__(self, pred, target, mask=None):
+        per_row = jnp.sum(jnp.abs(pred - target), axis=-1)
+        if mask is None:
+            mask = jnp.ones(per_row.shape, dtype=bool)
+        return _masked_reduce(per_row, mask, self.reduction)
+
+
 class SigmoidFocalLoss(_Loss):
     """Multi-hot sigmoid focal loss (parity: losses.py:34-54)."""
 
@@ -198,7 +210,7 @@ class GeneralizedIoULoss(_Loss):
 LOSSES = {
     'CrossEntropyLoss': CrossEntropyLoss,
     'SmoothL1Loss': SmoothL1Loss,
-    'L1Loss': SmoothL1Loss,  # beta -> 0 approximation available via beta arg
+    'L1Loss': L1Loss,
     'SigmoidFocalLoss': SigmoidFocalLoss,
     'SoftmaxFocalLoss': SoftmaxFocalLoss,
     'CrossEntropyWithSoftTargetsLoss': CrossEntropyWithSoftTargetsLoss,
@@ -248,7 +260,10 @@ class MultiboxLoss:
         self.classification_weight = classification_weight
         self.localization_weight = localization_weight
 
-    def __call__(self, scores, locs, anchors, target):
+    def __call__(self, scores, locs, anchors, target, image_mask=None):
+        """``image_mask [B]`` (optional) drops whole images from the loss —
+        used for the zero-padded rows of a partial eval batch, which would
+        otherwise each contribute ``min_negative_per_image`` hard negatives."""
         target_locs = target[..., LOC_INDEX_START:LOC_INDEX_END]
         target_classes = target[..., CLASS_INDEX].astype(jnp.int32)
         target_scores = target[..., SCORE_INDEX]
@@ -256,6 +271,9 @@ class MultiboxLoss:
         positive_mask = ((target_classes != NEGATIVE_CLASS)
                          & (target_classes != IGNORE_CLASS))
         sampled_mask = self.sampler(scores, target_classes)
+        if image_mask is not None:
+            positive_mask = positive_mask & image_mask[:, None]
+            sampled_mask = sampled_mask & image_mask[:, None]
 
         num_classes = scores.shape[-1]
         if self.multiclass:

@@ -1,6 +1,9 @@
 from single_shot_detection_tpu.parallel.mesh import (DATA_AXIS,  # noqa: F401
                                                      MODEL_AXIS,
+                                                     all_gather_host,
                                                      batch_sharding,
                                                      create_mesh,
+                                                     host_local_rows,
                                                      initialize_distributed,
+                                                     make_global_batch,
                                                      replicated, shard_batch)

@@ -48,16 +48,69 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch):
-    """Place a host-local pytree of arrays as data-sharded global arrays."""
-    sharding = batch_sharding(mesh)
+def _data_spec(x, axis: int) -> P:
+    spec = [None] * np.ndim(x)
+    spec[axis] = DATA_AXIS
+    return P(*spec)
+
+
+def shard_batch(mesh: Mesh, batch, axis: int = 0):
+    """Place a host-local pytree of arrays as data-sharded global arrays
+    (``axis`` = the batch dimension; fused [k, B, ...] chunks use axis=1)."""
+    def place(x):
+        return jax.device_put(x, NamedSharding(mesh, _data_spec(x, axis)))
+
+    return jax.tree_util.tree_map(place, batch)
+
+
+def make_global_batch(mesh: Mesh, batch, process_count: int = 1,
+                      axis: int = 0):
+    """Assemble per-host batches into data-sharded GLOBAL arrays.
+
+    Single-process: a plain ``device_put`` with the batch axis sharded.
+    Multi-host: ``jax.make_array_from_process_local_data`` — each host
+    contributes its loader's slice; the global batch (= per-host batch ×
+    process_count) is the concatenation in process order.  This replaces the
+    reference's DistributedSampler + DDP input scatter (data_builder.py:53-54).
+    """
+    if process_count <= 1:
+        return shard_batch(mesh, batch, axis)
 
     def place(x):
-        spec = P(DATA_AXIS, *([None] * (np.ndim(x) - 1)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, _data_spec(x, axis)), np.asarray(x))
 
-    del sharding
     return jax.tree_util.tree_map(place, batch)
+
+
+def host_local_rows(array) -> np.ndarray:
+    """The batch rows this host contributed, as numpy (in global row order).
+
+    For a fully-addressable (single-host) array this is the whole array;
+    under multi-host it concatenates the addressable shards of the
+    data-sharded leading axis.
+    """
+    if array.is_fully_addressable:
+        return np.asarray(jax.device_get(array))
+    shards = sorted(array.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
+def all_gather_host(tree, process_count: int = 1):
+    """All-gather a pytree of per-host numpy arrays across processes,
+    concatenating along axis 0 in process order (identity when
+    single-process).  Used to assemble global eval predictions/GT for the
+    host-side mAP metric."""
+    if process_count <= 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    def gather(x):
+        stacked = multihost_utils.process_allgather(np.asarray(x))
+        return stacked.reshape((-1,) + stacked.shape[2:])
+
+    return jax.tree_util.tree_map(gather, tree)
 
 
 def initialize_distributed(coordinator_address: Optional[str] = None,

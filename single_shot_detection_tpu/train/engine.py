@@ -39,6 +39,7 @@ from single_shot_detection_tpu.train import checkpoint as ckpt
 from single_shot_detection_tpu.train import optimizers, schedulers
 from single_shot_detection_tpu.train.state import create_train_state
 from single_shot_detection_tpu.train.step import (make_eval_step,
+                                                  make_fused_train_step,
                                                   make_predict_step,
                                                   make_train_step)
 from single_shot_detection_tpu.utils.misc import filter_kwargs
@@ -72,7 +73,8 @@ class Experiment:
                  tensorboard: bool = False,
                  seed: Optional[int] = None,
                  process_count: int = 1,
-                 process_index: int = 0):
+                 process_index: int = 0,
+                 devices=None):
         self.cfg = cfg
         self.phases = list(phases)
         self.debug = debug
@@ -178,6 +180,41 @@ class Experiment:
             from single_shot_detection_tpu.train import pruning
             self.tx = pruning.masked(self.tx)
 
+        # --- mesh --------------------------------------------------------
+        # The product data-parallel path (replaces reference init.py:77-86
+        # DataParallel/DDP): batch sharded over every usable device, state
+        # replicated; XLA inserts the gradient all-reduce and global-batch
+        # BN stats (sync-BN) because the loss reduces over the sharded batch.
+        from single_shot_detection_tpu import parallel
+        self.process_count = process_count
+        batch_size = cfg.batch_size or 32
+        if devices is not None:  # explicit pool (single-process / tests)
+            pool = list(devices)
+            n_local = len(pool)
+            while n_local > 1 and batch_size % n_local:
+                n_local -= 1
+            pool = pool[:n_local]
+        elif process_count > 1:
+            n_local = jax.local_device_count()
+            assert batch_size % n_local == 0, (
+                f'per-host batch {batch_size} must divide by '
+                f'{n_local} local devices for multi-host training')
+            pool = jax.devices()  # global mesh, process-major order
+        else:
+            n_local = jax.local_device_count()
+            while n_local > 1 and batch_size % n_local:
+                n_local -= 1
+            if n_local != jax.local_device_count():
+                logging.warning(
+                    f'WW batch_size {batch_size} not divisible by '
+                    f'{jax.local_device_count()} devices; using {n_local}')
+            pool = jax.local_devices()[:n_local]
+        self.mesh = parallel.create_mesh(
+            n_data=n_local * process_count, n_model=1, devices=pool)
+        self._replicated = parallel.replicated(self.mesh)
+        logging.info(f'II data-parallel mesh: {n_local * process_count} '
+                     f'device(s) x {process_count} process(es)')
+
         # --- state -----------------------------------------------------------
         # Initialize on host CPU when available: init runs dozens of tiny
         # kernels that are pure overhead to compile for the accelerator.
@@ -187,16 +224,46 @@ class Experiment:
             cpu_devices = jax.local_devices(backend='cpu')
         except RuntimeError:
             pass
-        default = jax.devices()[0]
-        if cpu_devices and default.platform != 'cpu':
+        if cpu_devices and jax.devices()[0].platform != 'cpu':
             with jax.default_device(cpu_devices[0]):
                 variables = self.bundle.init(init_rng, batch_size=1)
             self.state = create_train_state(variables, self.tx)
-            self.state = jax.device_put(self.state, default)
         else:
             variables = self.bundle.init(init_rng, batch_size=1)
             self.state = create_train_state(variables, self.tx)
+        # replicate across the mesh (the jitted steps then see a consistent
+        # device assignment for state + sharded batch)
+        self.state = jax.device_put(self.state, self._replicated)
         self.start_epoch = 0
+
+        # pretrained backbone from config (parity: base_builder.py:81-84 —
+        # torchvision download replaced by a user-provided torch state_dict,
+        # converted layout-wise by utils/torch_import.py)
+        base_cfg = dict(model_cfg.get('base', {}))
+        base_weight = base_cfg.get('weight')
+        if base_weight:
+            from single_shot_detection_tpu.utils import torch_import
+            sd = torch_import.load_torch_state_dict(base_weight)
+            new_vars = torch_import.import_backbone(
+                sd,
+                {'params': self.state.params,
+                 'batch_stats': self.state.batch_stats},
+                base_cfg['name'])
+            cast = functools.partial(jax.tree_util.tree_map,
+                                     lambda n, o: jnp.asarray(n, o.dtype))
+            self.state = self.state.replace(
+                params=jax.device_put(cast(new_vars['params'],
+                                           self.state.params),
+                                      self._replicated),
+                batch_stats=jax.device_put(
+                    cast(new_vars.get('batch_stats', self.state.batch_stats),
+                         self.state.batch_stats), self._replicated))
+        elif base_cfg.get('pretrained'):
+            logging.warning(
+                'WW base.pretrained=True cannot download torchvision weights '
+                'in an egress-free environment; set base.weight=<path to a '
+                'torch state_dict> to load pretrained weights '
+                '(utils/torch_import.py) — training from scratch')
 
         weight_file = detector_cfg.get('weight')
         if weight_file:
@@ -213,6 +280,8 @@ class Experiment:
                 logging.warning(f'WW no checkpoint found under {resume_from}')
 
         self.pruner = None
+        self._capture_means = None
+        self._needs_taylor = False
         if self.pruner_cfg:
             from single_shot_detection_tpu.train import pruning
             self.pruner = pruning.Pruner(
@@ -221,13 +290,46 @@ class Experiment:
                                               {'name': 'MinL1Norm'}),
                 include_paths=self.pruner_cfg.get('include_paths'),
                 num=self.pruner_cfg.get('num', 1))
+            # data-dependent criterions are fed on a step cadence (the
+            # replacement for the reference's forward/backward hooks,
+            # _hooks.py:4-29 via pruner.py:72-76)
+            self.observe_every = int(self.pruner_cfg.get('observe_every', 10))
+            self._needs_taylor = isinstance(self.pruner.criterion,
+                                            pruning.TaylorExpansion)
+            if self.pruner.criterion.needs_activations:
+                module = self.bundle.module
+
+                def capture_means(state, images):
+                    _, tree = module.apply(
+                        {'params': state.params,
+                         'batch_stats': state.batch_stats},
+                        images, train=False, capture_intermediates=True,
+                        mutable=['intermediates'])
+                    return pruning.activation_means(tree['intermediates'])
+
+                self._capture_means = jax.jit(capture_means)
 
         # --- steps ------------------------------------------------------------
         # augmentation fuses into the train step: one dispatch per step
         self.train_step = make_train_step(
             self.bundle.module, self.criterion, self.assigner, self.anchors,
             self.tx, mixup=train_cfg.get('mixup'),
-            pipeline=self.train_pipeline)
+            pipeline=self.train_pipeline,
+            with_grads=self._needs_taylor)
+        # k steps per dispatch via lax.scan — amortizes dispatch/readback
+        # round trips (dominant on remote-TPU transports; see docs/PERF.md)
+        self.fused_steps = int(train_cfg.get('fused_steps', 1))
+        if self.fused_steps > 1 and self._needs_taylor:
+            logging.warning('WW fused_steps is incompatible with '
+                            'TaylorExpansion pruning (per-step grads needed);'
+                            ' running unfused')
+            self.fused_steps = 1
+        self.fused_train_step = None
+        if self.fused_steps > 1:
+            self.fused_train_step = make_fused_train_step(
+                self.bundle.module, self.criterion, self.assigner,
+                self.anchors, self.tx, k=self.fused_steps,
+                mixup=train_cfg.get('mixup'), pipeline=self.train_pipeline)
         self.eval_step = make_eval_step(
             self.bundle.module, self.criterion, self.assigner, self.anchors,
             self.postprocessor)
@@ -255,38 +357,79 @@ class Experiment:
             if self.pruner is not None:  # parity: main.py:107-112 epoch_start
                 self.state = self.pruner.prune(self.state)
             start = time.time()
-            sums = {'loss': 0.0, 'class_loss': 0.0, 'loc_loss': 0.0}
+            # metric sums accumulate ON DEVICE (3 tiny async adds per step)
+            # and are pulled once per epoch: the true epoch mean (parity:
+            # init.py:124-133 running mean) at a cost of ONE host<->device
+            # round trip — each pull through a TPU relay is expensive
+            metric_sums = None
             count = 0
+            # every float()/device_get below is a host<->device sync that
+            # stalls the dispatch pipeline (expensive through a TPU relay) —
+            # the progress line is therefore wall-clock throttled and the lr
+            # is computed once per epoch
+            last_print = 0.0
+            lr_value = None
 
-            for step, batch in enumerate(loader):
-                if step >= num_batches:
-                    break
-                device_batch = {'image': batch['image'],
-                                'boxes': batch['boxes'],
-                                'box_mask': batch['box_mask']}
-                self.state, metrics = self.train_step(
-                    self.state, device_batch,
-                    jax.random.fold_in(self.rng, epoch * num_batches + step))
-                count += 1
-                if step % 10 == 0 or step == num_batches - 1:
-                    m = {k: float(v) for k, v in metrics.items()}
-                    for k in sums:
-                        sums[k] += m[k]
-                    lr = float(self.lr_schedule(int(jax.device_get(
-                        self.state.step)))) * float(self.state.lr_scale)
-                    if self.process_index == 0:
-                        print(f'\r[train] epoch {epoch} step {step + 1}/'
-                              f'{num_batches} loss {m["loss"]:.4f} '
-                              f'(cls {m["class_loss"]:.4f} loc '
-                              f'{m["loc_loss"]:.4f}) lr {lr:.6f}',
-                              end='', flush=True)
+            step_idx = 0
+            for kind, host in self._train_batches(loader, num_batches):
+                rng = jax.random.fold_in(self.rng,
+                                         epoch * num_batches + step_idx)
+                if kind == 'fused':
+                    device_batch = self._shard(host, axis=1)
+                    self.state, sums = self.fused_train_step(
+                        self.state, device_batch, rng)
+                    n = self.fused_steps
+                    metrics = {k: v / n for k, v in sums.items()}
+                else:
+                    device_batch = self._shard(host)
+                    self.state, metrics = self.train_step(
+                        self.state, device_batch, rng)
+                    grads = metrics.pop('grads', None)
+                    n = 1
+                    sums = metrics
+                    if (self.pruner is not None
+                            and step_idx % self.observe_every == 0):
+                        if grads is not None:
+                            self.pruner.observe_grads(self.state.params,
+                                                      grads)
+                        if self._capture_means is not None:
+                            imgs, _, _ = self.eval_pipeline(
+                                jax.random.fold_in(self.rng, 37),
+                                device_batch['image'], device_batch['boxes'],
+                                device_batch['box_mask'])
+                            self.pruner.observe(jax.device_get(
+                                self._capture_means(self.state, imgs)))
+                metric_sums = (sums if metric_sums is None else
+                               jax.tree_util.tree_map(jnp.add, metric_sums,
+                                                      sums))
+                count += n
+                step_idx += n
+                now = time.time()
+                if self.process_index == 0 and (now - last_print > 1.0
+                                                or step_idx >= num_batches):
+                    last_print = now
+                    if lr_value is None:
+                        opt_step = ((epoch * num_batches + step_idx)
+                                    // self.accumulation_steps)
+                        scale = self.plateau.scale if self.plateau else 1.0
+                        lr_value = float(self.lr_schedule(opt_step)) * scale
+                    # ONE stacked pull = one host<->device round trip
+                    vals = jax.device_get(jnp.stack(
+                        [metrics['loss'], metrics['class_loss'],
+                         metrics['loc_loss']]))
+                    print(f'\r[train] epoch {epoch} step {step_idx}/'
+                          f'{num_batches} loss {vals[0]:.4f} '
+                          f'(cls {vals[1]:.4f} loc {vals[2]:.4f}) '
+                          f'lr {lr_value:.6f}',
+                          end='', flush=True)
 
             elapsed = time.time() - start
-            denom = max(count // 10, 1)
-            row = {'epoch': epoch,
-                   'train_loss': sums['loss'] / denom,
-                   'train_class_loss': sums['class_loss'] / denom,
-                   'train_loc_loss': sums['loc_loss'] / denom}
+            pulled = (jax.device_get(metric_sums) if metric_sums is not None
+                      else {})
+            row = {'epoch': epoch}
+            for k in ('loss', 'class_loss', 'loc_loss'):
+                row[f'train_{k}'] = (float(pulled[k]) / max(count, 1)
+                                     if pulled else 0.0)
             logging.info(f'\n[train] finished in {elapsed // 60:.0f}m '
                          f'{elapsed % 60:.0f}s '
                          f'({num_batches * loader.batch_size / max(elapsed, 1e-9):.1f} img/s)')
@@ -321,6 +464,7 @@ class Experiment:
 
     # ------------------------------------------------------------------- eval
     def evaluate(self) -> dict:
+        from single_shot_detection_tpu import parallel
         loader = self.loaders['eval']
         start = time.time()
         all_preds = []
@@ -329,27 +473,39 @@ class Experiment:
         count = 0
         image_offset = 0
 
-        for batch in loader:
-            device_batch, full_boxes = self._augment(batch, train=False,
-                                                     salt=0, with_full=True)
+        for bidx, batch in enumerate(loader):
+            raw = self._shard({'image': batch['image'],
+                               'boxes': batch['boxes'],
+                               'box_mask': batch['box_mask'],
+                               'ids': batch['ids']})
+            device_batch, full_boxes = self._augment(raw, train=False,
+                                                     salt=bidx, with_full=True)
+            # padding rows of the last partial batch carry id -1 and must not
+            # contribute eval loss (they would each add hard negatives)
+            device_batch['image_valid'] = raw['ids'] >= 0
             metrics, dets, valid = self.eval_step(self.state, device_batch)
             count += 1
             for k in sums:
                 sums[k] += float(metrics[k])
 
-            dets = np.asarray(jax.device_get(dets))
-            valid = np.asarray(jax.device_get(valid))
-            mask = np.asarray(jax.device_get(device_batch['box_mask']))
-            # pipeline-space GT (input_size coords, 7 cols incl. difficult)
-            gt_boxes = np.asarray(jax.device_get(full_boxes))
-            ids = batch['ids']
-            for i in range(dets.shape[0]):
-                if ids[i] < 0:
+            # each host pulls the rows it fed; multi-host assembles the
+            # global view so every process computes identical metrics
+            # (plateau scheduling must agree across hosts)
+            host = parallel.all_gather_host({
+                'dets': parallel.host_local_rows(dets),
+                'valid': parallel.host_local_rows(valid),
+                'mask': parallel.host_local_rows(device_batch['box_mask']),
+                # pipeline-space GT (input_size coords, 7 cols incl. difficult)
+                'gt': parallel.host_local_rows(full_boxes),
+                'ids': np.asarray(batch['ids']),
+            }, self.process_count)
+            for i in range(host['dets'].shape[0]):
+                if host['ids'][i] < 0:
                     continue  # padding rows of the last partial batch
-                d = dets[i][valid[i]]
+                d = host['dets'][i][host['valid'][i]]
                 for row in d:
                     all_preds.append([image_offset, *row])
-                all_gts.append(gt_boxes[i][mask[i]])
+                all_gts.append(host['gt'][i][host['mask'][i]])
                 image_offset += 1
 
         result = {k: v / max(count, 1) for k, v in sums.items()}
@@ -369,6 +525,32 @@ class Experiment:
         return result
 
     # ---------------------------------------------------------------- helpers
+    def _shard(self, batch: dict, axis: int = 0):
+        """Place a host-local batch as data-sharded global arrays on the
+        mesh (single-host: device_put; multi-host: global-array assembly)."""
+        from single_shot_detection_tpu import parallel
+        return parallel.make_global_batch(self.mesh, batch,
+                                          self.process_count, axis)
+
+    def _train_batches(self, loader, num_batches):
+        """Yield ('single', batch) or — when ``fused_steps`` > 1 —
+        ('fused', k-stacked batches); the remainder runs unfused."""
+        chunk = []
+        for step, batch in enumerate(loader):
+            if step >= num_batches:
+                break
+            host = {k: batch[k] for k in ('image', 'boxes', 'box_mask')}
+            if self.fused_train_step is None:
+                yield 'single', host
+                continue
+            chunk.append(host)
+            if len(chunk) == self.fused_steps:
+                yield 'fused', {k: np.stack([c[k] for c in chunk])
+                                for k in chunk[0]}
+                chunk = []
+        for host in chunk:
+            yield 'single', host
+
     def _augment(self, batch: dict, train: bool, salt: int,
                  with_full: bool = False):
         pipeline = self.train_pipeline if train else self.eval_pipeline
@@ -402,8 +584,9 @@ class Experiment:
         staged, _ = stage_image(image, np.zeros((0, 6), np.float32),
                                 self.input_size)
         img, _, _ = self.eval_pipeline(
-            self.rng, staged[None], np.zeros((1, 1, 7), np.float32),
-            np.zeros((1, 1), bool))
+            self.rng, jax.device_put(staged[None], self._replicated),
+            jax.device_put(np.zeros((1, 1, 7), np.float32), self._replicated),
+            jax.device_put(np.zeros((1, 1), bool), self._replicated))
         variables = {'params': self.state.params,
                      'batch_stats': self.state.batch_stats}
         dets, valid = self.predict_step(variables, img)

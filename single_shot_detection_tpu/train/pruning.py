@@ -238,11 +238,17 @@ class MeanActivation(Criterion):
                 self.ema[k] = v
 
     def scores(self, params, aux=None):
+        flat = _flatten(params)
         out = {}
         for k in self._included(params):
-            module = _module_path(k)
-            if module in self.ema:
-                out[k] = self.ema[module]
+            # prefer the conv submodule's own output (correct channel count,
+            # like the reference's per-conv hooks); fall back to the block
+            # output when lengths agree
+            for key in (k[:-1], _module_path(k)):
+                mean = self.ema.get(key)
+                if mean is not None and len(mean) == flat[k].shape[-1]:
+                    out[k] = mean
+                    break
         return out
 
 
@@ -450,17 +456,41 @@ class Pruner:
         holder['mask'] = new_mask
         return opt_state
 
-    def observe(self, intermediates):
-        """Feed captured activations to activation-based criterions."""
-        if isinstance(self.criterion, MeanActivation):
-            acts = {}
-            for path, value in _flatten(intermediates).items():
+    def observe(self, acts):
+        """Feed activations to activation-based criterions.
+
+        Accepts either raw flax ``intermediates`` or the flat per-channel
+        means produced (on-device) by ``activation_means`` — the engine uses
+        the latter so only tiny 1-D vectors cross to the host.
+        """
+        if not isinstance(self.criterion, MeanActivation):
+            return
+        if acts and all(isinstance(k, tuple) for k in acts):
+            means = {k: np.asarray(v) for k, v in acts.items()}
+        else:
+            means = {}
+            for path, value in _flatten(acts).items():
                 if path[-1] == '__call__':
                     v = value[0] if isinstance(value, tuple) else value
                     if getattr(v, 'ndim', 0) == 4:
-                        acts[path[:-1]] = np.asarray(v.mean(axis=(0, 1, 2)))
-            self.criterion.update(acts)
+                        means[path[:-1]] = np.asarray(v.mean(axis=(0, 1, 2)))
+        self.criterion.update(means)
 
     def observe_grads(self, params, grads):
         if isinstance(self.criterion, TaylorExpansion):
             self.criterion.update_from_grads(params, grads)
+
+
+def activation_means(intermediates) -> Dict[Path, jnp.ndarray]:
+    """Per-channel means of every captured 4-D activation, computed ON
+    DEVICE (jit-friendly): the engine's replacement for the reference's
+    forward hooks (_hooks.py:4-22)."""
+    out = {}
+    for path, value in _flatten(intermediates).items():
+        if path[-1] == '__call__':
+            v = value[0] if isinstance(value, tuple) else value
+            if isinstance(v, tuple):
+                v = v[0]
+            if getattr(v, 'ndim', 0) == 4:
+                out[path[:-1]] = v.mean(axis=(0, 1, 2))
+    return out

@@ -47,6 +47,8 @@ def exponential_lr(base_lr: float, gamma: float):
 
 
 def cosine_annealing_lr(base_lr: float, T_max: int, eta_min: float = 0.0):
+    T_max = max(int(T_max), 1)  # degenerate horizon (e.g. warmup == total)
+
     def schedule(tick):
         t = jnp.minimum(tick, T_max)
         return eta_min + (base_lr - eta_min) * (1 + jnp.cos(math.pi * t / T_max)) / 2

@@ -59,7 +59,8 @@ def make_train_step(module,
                     tx: optax.GradientTransformation,
                     mixup: Optional[dict] = None,
                     pipeline=None,
-                    donate: bool = True) -> Callable:
+                    donate: bool = True,
+                    with_grads: bool = False) -> Callable:
     """Build the jitted train step (parity: init.py:101-135 ``step_fn`` +
     callbacks optimizer/loss/mixup).
 
@@ -68,6 +69,42 @@ def make_train_step(module,
     images + 7-col boxes and the whole epoch iteration is one XLA program
     dispatch per step.
     """
+    train_step = _train_step_body(module, criterion, assigner, anchors, tx,
+                                  mixup, pipeline, with_grads)
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_fused_train_step(module, criterion, assigner, anchors, tx,
+                          k: int,
+                          mixup: Optional[dict] = None,
+                          pipeline=None,
+                          donate: bool = True) -> Callable:
+    """``k`` train steps per XLA dispatch via ``lax.scan``.
+
+    Dispatch/readback round trips dominate small-model steps on remote
+    TPU transports; scanning over ``k`` pre-staged micro-batches amortizes
+    them k-fold.  ``batches`` leaves carry a leading [k, B, ...] axis;
+    returns summed metrics plus the per-chunk mean loss for display.
+    """
+    body = _train_step_body(module, criterion, assigner, anchors, tx,
+                            mixup, pipeline, with_grads=False)
+
+    def fused(state, batches, rng):
+        keys = jax.random.split(rng, k)
+
+        def scan_body(state, xs):
+            batch, key = xs
+            return body(state, batch, key)
+
+        state, stacked = jax.lax.scan(scan_body, state, (batches, keys))
+        sums = jax.tree_util.tree_map(lambda m: jnp.sum(m, axis=0), stacked)
+        return state, sums
+
+    return jax.jit(fused, donate_argnums=(0,) if donate else ())
+
+
+def _train_step_body(module, criterion, assigner, anchors, tx,
+                     mixup, pipeline, with_grads):
     anchors = jnp.asarray(anchors)
 
     def train_step(state, batch, rng):
@@ -109,9 +146,13 @@ def make_train_step(module,
                                   opt_state=opt_state)
         metrics = {'loss': loss, 'class_loss': class_loss,
                    'loc_loss': loc_loss}
+        if with_grads:
+            # for TaylorExpansion pruning (engine feeds observe_grads on a
+            # cadence; the extra output is only materialized when pulled)
+            metrics['grads'] = grads
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    return train_step
 
 
 def make_eval_step(module, criterion, assigner, anchors,
@@ -130,7 +171,10 @@ def make_eval_step(module, criterion, assigner, anchors,
         scores = scores.astype(jnp.float32)
         locs = locs.astype(jnp.float32)
 
-        loss, class_loss, loc_loss = criterion(scores, locs, anchors, target)
+        # padded rows of a partial batch must not contribute loss
+        loss, class_loss, loc_loss = criterion(
+            scores, locs, anchors, target,
+            image_mask=batch.get('image_valid'))
         detections, valid = postprocessor(scores, locs, anchors)
         metrics = {'loss': loss, 'class_loss': class_loss,
                    'loc_loss': loc_loss}

@@ -202,3 +202,186 @@ def test_gradient_accumulation_via_engine(tmp_path):
     # state.step counts micro-steps (parity: global_step counts updates —
     # the optimizer holds between accumulation boundaries)
     assert int(exp.state.step) == 4
+
+
+def test_engine_data_parallel_matches_single_device():
+    """The PRODUCT train/eval path (Experiment) on the 8-device mesh must
+    reproduce single-device results — data parallelism in the engine itself,
+    not just in a hand-built step.
+
+    One step only: hard-negative mining is rank-based, so float
+    reduction-order noise amplifies chaotically across steps by design."""
+    train_losses, eval_results = [], []
+    for devs in ([jax.devices()[0]], None):
+        cfg = load_config(SMOKE)
+        cfg.config.train['epochs'] = 1
+        cfg.config.train['eval_every'] = 1
+        cfg.config.train['num_batches_per_epoch'] = 1
+        exp = Experiment(cfg, phases=['train', 'eval'], debug=True,
+                         devices=devs)
+        assert exp.mesh.devices.size == (1 if devs else 8)
+        rows = exp.train()
+        train_losses.append(rows[-1]['train_loss'])
+        eval_results.append((rows[-1]['eval_loss'], rows[-1]['eval_mAP']))
+    # only float reduction-order differences are allowed
+    np.testing.assert_allclose(train_losses[0], train_losses[1], rtol=2e-4)
+    np.testing.assert_allclose(eval_results[0][0], eval_results[1][0],
+                               rtol=2e-4)
+    assert eval_results[0][1] == eval_results[1][1]  # mAP is discrete-ranked
+
+
+def test_train_loss_is_true_epoch_mean():
+    """log.csv train_loss must be the exact mean over every step, not a
+    subsampled sum with a mismatched denominator."""
+    cfg = load_config(SMOKE)
+    cfg.config.train['epochs'] = 1
+    cfg.config.train['eval_every'] = 99
+    exp = Experiment(cfg, phases=['train'], debug=True)
+    recorded = []
+    orig = exp.train_step
+
+    def spy(state, batch, rng):
+        state, m = orig(state, batch, rng)
+        recorded.append(float(m['loss']))
+        return state, m
+
+    exp.train_step = spy
+    rows = exp.train()
+    assert recorded, 'no steps ran'
+    np.testing.assert_allclose(rows[-1]['train_loss'], np.mean(recorded),
+                               rtol=1e-6)
+
+
+def test_loader_propagates_worker_errors():
+    from single_shot_detection_tpu.data.loader import Loader
+
+    class Broken:
+        annotations = [{'image_path': ''}] * 4
+
+        def __len__(self):
+            return 4
+
+        def load_image(self, i):
+            if i == 2:
+                raise ValueError('corrupt image')
+            return np.zeros((10, 10, 3), np.uint8)
+
+        def boxes(self, i):
+            return np.zeros((0, 6), np.float32)
+
+    loader = Loader(Broken(), batch_size=2, staging_size=(10, 10),
+                    num_workers=1)
+    with pytest.raises(ValueError, match='corrupt image'):
+        for _ in loader:
+            pass
+
+
+MB2_WEIGHT_SMOKE = """
+seed = 23
+model = {{
+    'base': {{'name': 'torchvision_mobilenet_v2', 'weight': {weight!r}}},
+    'detector': {{
+        'num_classes': 5, 'use_depthwise': True,
+        'features': {{'name': 'Features', 'out_layers': (13, 18)}},
+        'extras': {{'layers': (('s', 64),)}},
+    }},
+    'anchor_generator': {{'type': 'ssd', 'num_scales': 3, 'min_scale': 0.2,
+                          'max_scale': 0.9, 'aspect_ratios': [[1.0, 2.0]] * 3}},
+}}
+box_coder = {{'xy_scale': 10.0, 'wh_scale': 5.0}}
+sampler = {{'name': 'naive_sampler'}}
+loss = {{'classification_loss': {{'name': 'CrossEntropyLoss'}},
+         'localization_loss': {{'name': 'SmoothL1Loss'}}}}
+postprocess = {{'score_threshold': 0.05, 'max_total': 10,
+                'nms': {{'max_per_class': 5, 'overlap_threshold': 0.5}}}}
+target_assigner = {{'matched_threshold': 0.5, 'unmatched_threshold': 0.5}}
+augmentations = []
+preprocessing = [{{'name': 'ToFloatTensor', 'args': {{'normalize': True}}}}]
+input_size = (96, 96)
+dataset = {{'train': {{'name': 'Synthetic', 'num_images': 8, 'image_size': 96,
+                       'num_classes': 5, 'max_boxes': 2, 'seed': 1}}}}
+batch_size = 4
+num_workers = 1
+train = {{'epochs': 0, 'optimizer': {{'name': 'SGD', 'lr': 1e-3}}}}
+"""
+
+
+def test_engine_loads_base_weight_from_config(tmp_path):
+    """A config requesting base.weight must actually load it (round-1 gap:
+    the key was silently stripped)."""
+    import torch
+    from single_shot_detection_tpu.models import builder
+    from test_torch_import import synthetic_mbv2_state_dict
+
+    bundle = builder.build(
+        base={'name': 'torchvision_mobilenet_v2'},
+        anchor_generator={'type': 'ssd', 'num_scales': 3, 'min_scale': 0.2,
+                          'max_scale': 0.9, 'aspect_ratios': [[1.0, 2.0]] * 3},
+        num_classes=5, use_depthwise=True,
+        features={'name': 'Features', 'out_layers': (13, 18)},
+        extras={'layers': (('s', 64),)},
+        input_size=(96, 96))
+    variables = bundle.init(jax.random.PRNGKey(0))
+    sd = synthetic_mbv2_state_dict(variables, np.random.RandomState(3))
+    sd_path = tmp_path / 'mb2.pt'
+    torch.save(sd, str(sd_path))
+
+    cfg_path = tmp_path / 'cfg.py'
+    cfg_path.write_text(MB2_WEIGHT_SMOKE.format(weight=str(sd_path)))
+    exp = Experiment(load_config(str(cfg_path)), phases=['train'], debug=True)
+
+    kernel = np.asarray(
+        exp.state.params['features']['base']['stage0']['conv']['kernel'])
+    expected = sd['features.0.0.weight'].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_array_equal(kernel, expected)
+    mean = np.asarray(
+        exp.state.batch_stats['features']['base']['stage0']['bn']['mean'])
+    np.testing.assert_array_equal(mean,
+                                  sd['features.0.1.running_mean'].numpy())
+
+
+def _pruning_smoke_cfg(criterion):
+    cfg = load_config(SMOKE)
+    cfg.config.train['epochs'] = 2
+    cfg.config.train['eval_every'] = 99
+    cfg.config.train['pruner'] = {
+        'include_paths': ['features'],
+        'criterion': criterion,
+        'num': 2,
+        'observe_every': 1,
+    }
+    return cfg
+
+
+@pytest.mark.parametrize('criterion', [
+    {'name': 'TaylorExpansion'},
+    {'name': 'MeanActivation'},
+])
+def test_data_dependent_pruning_criterions_fed_by_engine(criterion):
+    """Configuring TaylorExpansion/MeanActivation must actually prune
+    channels (round-1 gap: observe/observe_grads had no caller, so these
+    criterions scored nothing)."""
+    exp = Experiment(_pruning_smoke_cfg(criterion), phases=['train'],
+                     debug=True)
+    exp.train()
+    pruned = sum(len(d) for d in exp.pruner.dead.values())
+    assert pruned > 0, f'{criterion["name"]} pruned nothing'
+    # pruned channels are exactly zero in the params
+    from single_shot_detection_tpu.train import pruning
+    for path, dead in exp.pruner.dead.items():
+        kernel = np.asarray(pruning._get(exp.state.params, path))
+        for c in dead:
+            assert np.abs(kernel[..., c]).sum() == 0.0
+
+
+def test_fused_steps_train():
+    """lax.scan-fused multi-step dispatch: same epoch semantics, k steps per
+    XLA call (remainder runs unfused)."""
+    cfg = load_config(SMOKE)
+    cfg.config.train['epochs'] = 1
+    cfg.config.train['eval_every'] = 99
+    cfg.config.train['fused_steps'] = 3  # 4 steps -> one chunk + remainder
+    exp = Experiment(cfg, phases=['train'], debug=True)
+    rows = exp.train()
+    assert np.isfinite(rows[-1]['train_loss'])
+    assert int(exp.state.step) == 4  # all batches trained

@@ -144,3 +144,53 @@ def test_multibox_loss_vs_torch_reference(rng):
     np.testing.assert_allclose(float(cls), exp_cls, rtol=1e-4)
     np.testing.assert_allclose(float(loc), exp_loc, rtol=1e-4)
     np.testing.assert_allclose(float(total), exp_cls + exp_loc, rtol=1e-4)
+
+
+def test_multibox_loss_image_mask_drops_padded_rows():
+    """Zero-padded eval rows must contribute no loss (they would otherwise
+    each add min_negative_per_image hard negatives)."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from single_shot_detection_tpu.ops import sampling
+    from single_shot_detection_tpu.ops.box_coder import BoxCoder
+    from single_shot_detection_tpu.ops.losses import MultiboxLoss
+    from single_shot_detection_tpu.ops.matching import TargetAssigner
+
+    rng = np.random.RandomState(7)
+    A, C = 64, 5
+    anchors = jnp.asarray(
+        np.stack([rng.uniform(10, 90, A), rng.uniform(10, 90, A),
+                  rng.uniform(5, 20, A), rng.uniform(5, 20, A)], -1),
+        jnp.float32)
+    sampler = functools.partial(sampling.hard_negative_mining,
+                                negative_per_positive_ratio=3,
+                                min_negative_per_image=5)
+    criterion = MultiboxLoss(sampler, BoxCoder(10.0, 5.0),
+                             {'name': 'CrossEntropyLoss'},
+                             {'name': 'SmoothL1Loss'})
+    assigner = TargetAssigner(0.5, 0.5)
+
+    gt = np.zeros((3, 2, 6), np.float32)
+    gt[0, 0] = [20, 20, 50, 50, 1, 1]
+    gt[1, 0] = [30, 10, 70, 60, 2, 1]
+    mask = np.array([[True, False], [True, False], [False, False]])
+    scores = jnp.asarray(rng.randn(3, A, C), jnp.float32)
+    locs = jnp.asarray(rng.randn(3, A, 4), jnp.float32)
+
+    target3 = assigner(jnp.asarray(gt), jnp.asarray(mask), anchors)
+    masked = criterion(scores, locs, anchors, target3,
+                       image_mask=jnp.array([True, True, False]))
+    target2 = assigner(jnp.asarray(gt[:2]), jnp.asarray(mask[:2]), anchors)
+    ref = criterion(scores[:2], locs[:2], anchors, target2)
+    for a, b in zip(masked, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_l1_loss_is_not_huber():
+    from single_shot_detection_tpu.ops.losses import build_loss
+    import jax.numpy as jnp
+    l1 = build_loss('L1Loss', reduction='sum')
+    pred = jnp.array([[0.5, -0.25]])
+    tgt = jnp.zeros((1, 2))
+    np.testing.assert_allclose(float(l1(pred, tgt)), 0.75, rtol=1e-6)
