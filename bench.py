@@ -1,35 +1,48 @@
 """Benchmark: SSD300-MobileNetV2 (ssd_mb2_voc) training throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-The reference publishes no numbers (BASELINE.md); ``REFERENCE_GPU_IMG_S`` is a
-documented estimate for the reference PyTorch pipeline training
-SSD300-MobileNetV2 (batch 32) on a contemporary single GPU — used only to
-report the vs_baseline ratio against the >=5x north-star target.
+Two numbers are measured (round-1 verdict asked for both):
+  * ``end_to_end_img_s`` — the PRIMARY value: a user's actual epoch through
+    ``Experiment.train()`` — JPEG decode (native C++ batch decoder), host
+    staging, fused on-device augmentation, jitted train step, metric
+    accounting.  Measured on a staged synthetic VOC-scale JPEG dataset
+    (500x375 JPEGs on disk, Csv annotations).
+  * ``device_step_img_s`` — the jitted train step alone on a pre-staged
+    device batch (the round-1 headline, kept for cross-round comparability).
+
+The reference publishes no numbers (BASELINE.md); ``REFERENCE_GPU_IMG_S`` is
+a documented ESTIMATE for the reference PyTorch pipeline training
+SSD300-MobileNetV2 (batch 32) on a contemporary single GPU — the reported
+``vs_baseline`` ratio is against the >=5x north-star target and its basis is
+labeled in the JSON (``baseline_basis``).
 """
 
-import functools
 import json
+import os
+import tempfile
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-REFERENCE_GPU_IMG_S = 120.0  # estimated reference GPU throughput (see module docstring)
+REFERENCE_GPU_IMG_S = 120.0  # estimated reference GPU e2e throughput (see docstring)
 
 BATCH = 32
 IMG = 300
 STEPS = 20
+E2E_IMAGES = 256          # images per epoch in the staged dataset
+E2E_EPOCHS = 3            # timed epochs (after one warmup/compile epoch)
+
+VOC_LABELS = ['background'] + [f'class_{i}' for i in range(1, 21)]
 
 
-def main():
+def bench_device_step(dtype):
+    """Jitted train step on a pre-staged device batch (round-1 metric)."""
     import __graft_entry__ as ge
-    from single_shot_detection_tpu.train import create_train_state, make_train_step
-
-    # bf16 compute on TPU (replaces the reference's apex AMP, env.py:87-95)
-    on_tpu = jax.devices()[0].platform != 'cpu'
-    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    from single_shot_detection_tpu.train import (create_train_state,
+                                                 make_train_step)
 
     bundle = ge._flagship(img_size=IMG, dtype=dtype)
     anchors = bundle.anchors()
@@ -66,13 +79,81 @@ def main():
             state, metrics = step(state, batch, jax.random.fold_in(key, i))
         jax.block_until_ready(metrics['loss'])
         elapsed = time.perf_counter() - t0
+    return BATCH * STEPS / elapsed
 
-    img_per_s = BATCH * STEPS / elapsed
+
+def stage_jpeg_dataset(root):
+    """Write a VOC-scale synthetic JPEG dataset + Csv annotations."""
+    from PIL import Image
+
+    rng = np.random.RandomState(23)
+    palette = np.random.RandomState(1234).randint(64, 255, size=(21, 3))
+    rows = []
+    w, h = 500, 375  # typical VOC image size
+    for n in range(E2E_IMAGES):
+        img = rng.randint(0, 48, size=(h, w, 3), dtype=np.uint8)
+        for _ in range(rng.randint(1, 6)):
+            bw = rng.randint(w // 8, w // 2)
+            bh = rng.randint(h // 8, h // 2)
+            x0 = rng.randint(0, w - bw)
+            y0 = rng.randint(0, h - bh)
+            cls = rng.randint(1, 21)
+            img[y0:y0 + bh, x0:x0 + bw] = palette[cls]
+            rows.append(f'{n:05d}.jpg,{x0},{y0},{x0 + bw - 1},{y0 + bh - 1},'
+                        f'{VOC_LABELS[cls]}')
+        Image.fromarray(img).save(os.path.join(root, f'{n:05d}.jpg'),
+                                  quality=85)
+    csv_path = os.path.join(root, 'annotations.csv')
+    with open(csv_path, 'w') as f:
+        f.write('\n'.join(rows) + '\n')
+    return csv_path
+
+
+def bench_end_to_end(bf16):
+    """A user's epoch: main.py's Experiment on a staged JPEG dataset."""
+    from single_shot_detection_tpu.train.engine import Experiment
+    from single_shot_detection_tpu.utils.config import load_config
+
+    with tempfile.TemporaryDirectory() as root:
+        csv_path = stage_jpeg_dataset(root)
+        cfg = load_config(os.path.join(os.path.dirname(__file__),
+                                       'samples', 'ssd_mb2_voc.py'))
+        cfg.config.dataset = {
+            'train': {'name': 'Csv', 'path': csv_path},
+            'labels': VOC_LABELS,
+        }
+        cfg.config.train['epochs'] = 1
+        cfg.config.train['eval_every'] = 99
+        cfg.config.num_workers = 4
+
+        exp = Experiment(cfg, phases=['train'], debug=True, bf16=bf16)
+        exp.train()  # warmup epoch: compile + first-loop slow path
+
+        t0 = time.perf_counter()
+        for _ in range(E2E_EPOCHS):
+            exp.train()
+        elapsed = time.perf_counter() - t0
+    steps_per_epoch = E2E_IMAGES // BATCH
+    return steps_per_epoch * BATCH * E2E_EPOCHS / elapsed
+
+
+def main():
+    on_tpu = jax.devices()[0].platform != 'cpu'
+    # bf16 compute on TPU (replaces the reference's apex AMP, env.py:87-95)
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    device_step = bench_device_step(dtype)
+    end_to_end = bench_end_to_end(bf16=on_tpu)
+
     print(json.dumps({
-        'metric': 'train_images_per_sec_per_chip_ssd300_mb2',
-        'value': round(img_per_s, 2),
+        'metric': 'train_images_per_sec_e2e_ssd300_mb2',
+        'value': round(end_to_end, 2),
         'unit': 'images/sec',
-        'vs_baseline': round(img_per_s / REFERENCE_GPU_IMG_S, 3),
+        'vs_baseline': round(end_to_end / REFERENCE_GPU_IMG_S, 3),
+        'baseline_basis': 'estimate (reference publishes no numbers)',
+        'device_step_img_s': round(device_step, 2),
+        'end_to_end_img_s': round(end_to_end, 2),
+        'host_cpu_cores': os.cpu_count(),
     }))
 
 

@@ -35,7 +35,13 @@ void error_exit(j_common_ptr cinfo) {
 }
 
 // Decode one JPEG file to RGB; returns malloc'd buffer (caller frees).
-uint8_t* decode_jpeg(const char* path, int* width, int* height) {
+// When target dims (tw, th) are positive, decodes at the smallest libjpeg
+// DCT scale (num/8) whose output still covers the target in both dims —
+// the IDCT then does most of the downsampling work (large speedup, proper
+// low-pass). orig_w/orig_h receive the ORIGINAL dims (for box rescaling);
+// width/height receive the decoded dims.
+uint8_t* decode_jpeg(const char* path, int* width, int* height,
+                     int tw, int th, int* orig_w, int* orig_h) {
   FILE* file = std::fopen(path, "rb");
   if (!file) return nullptr;
 
@@ -43,7 +49,9 @@ uint8_t* decode_jpeg(const char* path, int* width, int* height) {
   JpegErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = error_exit;
-  uint8_t* buffer = nullptr;
+  // volatile: modified after setjmp and read in the longjmp error path —
+  // without it the error path could free an indeterminate pointer
+  uint8_t* volatile buffer = nullptr;
   if (setjmp(jerr.setjmp_buffer)) {
     jpeg_destroy_decompress(&cinfo);
     std::fclose(file);
@@ -55,8 +63,22 @@ uint8_t* decode_jpeg(const char* path, int* width, int* height) {
   jpeg_stdio_src(&cinfo, file);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
+  if (tw > 0 && th > 0) {
+    // classic libjpeg (v62 ABI) supports only 1/1, 1/2, 1/4, 1/8 —
+    // pick the largest denominator whose output still covers the target
+    int denom = 1;
+    for (int d = 8; d >= 1; d /= 2) {
+      const long sw = (cinfo.image_width + d - 1) / d;
+      const long sh = (cinfo.image_height + d - 1) / d;
+      if (sw >= tw && sh >= th) { denom = d; break; }
+    }
+    cinfo.scale_num = 1;
+    cinfo.scale_denom = denom;
+  }
   jpeg_start_decompress(&cinfo);
 
+  if (orig_w) *orig_w = cinfo.image_width;
+  if (orig_h) *orig_h = cinfo.image_height;
   *width = cinfo.output_width;
   *height = cinfo.output_height;
   const size_t stride = static_cast<size_t>(*width) * 3;
@@ -109,30 +131,35 @@ void resize_bilinear(const uint8_t* src, int sw, int sh,
 extern "C" {
 
 // Decode `count` JPEG files, resize each to (dw, dh), write into
-// out[b, dh, dw, 3].  orig_sizes[b*2+{0,1}] receives (width, height).
-// Returns the number of successfully decoded images; failures leave the
-// slot zeroed with orig_sizes = 0 (python falls back for those).
+// out[b, dh, dw, 3].  orig_sizes[b*2+{0,1}] receives the ORIGINAL
+// (width, height) — box rescaling needs the source frame.  When
+// fast_scale != 0, the IDCT decodes directly at the smallest covering
+// DCT scale (see decode_jpeg).  Returns the number of successfully decoded
+// images; failures leave the slot zeroed with orig_sizes = 0 (python falls
+// back for those).
 int decode_batch(const char** paths, int count,
                  uint8_t* out, int dw, int dh,
-                 int* orig_sizes, int num_threads) {
+                 int* orig_sizes, int num_threads, int fast_scale) {
   std::atomic<int> next(0);
   std::atomic<int> ok(0);
   const size_t slot = static_cast<size_t>(dw) * dh * 3;
+  const int tw = fast_scale ? dw : 0;
+  const int th = fast_scale ? dh : 0;
 
   auto worker = [&]() {
     while (true) {
       int b = next.fetch_add(1);
       if (b >= count) break;
-      int w = 0, h = 0;
-      uint8_t* img = decode_jpeg(paths[b], &w, &h);
+      int w = 0, h = 0, ow = 0, oh = 0;
+      uint8_t* img = decode_jpeg(paths[b], &w, &h, tw, th, &ow, &oh);
       if (!img) {
         std::memset(out + slot * b, 0, slot);
         orig_sizes[b * 2] = 0;
         orig_sizes[b * 2 + 1] = 0;
         continue;
       }
-      orig_sizes[b * 2] = w;
-      orig_sizes[b * 2 + 1] = h;
+      orig_sizes[b * 2] = ow;
+      orig_sizes[b * 2 + 1] = oh;
       if (w == dw && h == dh) {
         std::memcpy(out + slot * b, img, slot);
       } else {
@@ -156,7 +183,7 @@ int decode_batch(const char** paths, int count,
 int decode_single(const char* path, uint8_t* out, long cap,
                   int* width, int* height) {
   int w = 0, h = 0;
-  uint8_t* img = decode_jpeg(path, &w, &h);
+  uint8_t* img = decode_jpeg(path, &w, &h, 0, 0, nullptr, nullptr);
   if (!img) return -1;
   long need = static_cast<long>(w) * h * 3;
   if (need > cap) {

@@ -48,7 +48,7 @@ def get_library() -> Optional[ctypes.CDLL]:
         lib.decode_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,
         ]
         lib.decode_single.restype = ctypes.c_int
         lib.decode_single.argtypes = [
@@ -63,12 +63,17 @@ def get_library() -> Optional[ctypes.CDLL]:
 
 
 def decode_batch_into(paths: List[str], out: np.ndarray,
-                      num_threads: int = 8) -> Optional[np.ndarray]:
+                      num_threads: int = 8,
+                      fast_scale: bool = True) -> Optional[np.ndarray]:
     """Decode + stage JPEGs into ``out [B, H, W, 3]`` uint8.
 
     Returns per-image original (w, h) as ``[B, 2]`` int32, or None if the
     native path is unavailable.  Slots that failed to decode have size 0 —
     the caller falls back for those.
+
+    ``fast_scale`` decodes at the smallest covering libjpeg DCT scale
+    (num/8) before the bilinear stage — a large IDCT saving with a proper
+    low-pass; disable for bit-parity with full-decode + cv2.resize.
     """
     lib = get_library()
     if lib is None:
@@ -83,5 +88,5 @@ def decode_batch_into(paths: List[str], out: np.ndarray,
                      out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                      w, h,
                      sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-                     num_threads)
+                     num_threads, int(fast_scale))
     return sizes

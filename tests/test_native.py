@@ -30,7 +30,8 @@ def test_native_batch_decode(jpegs):
         pytest.skip('native library unavailable')
     paths, imgs = jpegs
     out = np.zeros((4, 32, 32, 3), np.uint8)
-    sizes = native.decode_batch_into(paths, out, num_threads=2)
+    sizes = native.decode_batch_into(paths, out, num_threads=2,
+                                     fast_scale=False)
     assert sizes is not None
     assert (sizes == [64, 48]).all()
     # staged content matches cv2's point-sampled bilinear closely
@@ -39,6 +40,29 @@ def test_native_batch_decode(jpegs):
     ref = cv2.resize(imgs[0], (32, 32), interpolation=cv2.INTER_LINEAR)
     diff = np.abs(out[0].astype(int) - ref.astype(int)).mean()
     assert diff < 2.0
+
+
+def test_native_fast_scale_decode(jpegs, tmp_path):
+    """DCT-scaled decode: same original sizes reported, near-identical
+    content on smooth images (the low-pass only diverges on per-pixel
+    noise)."""
+    if native.get_library() is None:
+        pytest.skip('native library unavailable')
+    from PIL import Image
+    yy, xx = np.mgrid[0:48, 0:64]
+    smooth = np.stack([xx * 2, yy * 3, (xx + yy)], -1).astype(np.uint8)
+    p = str(tmp_path / 'smooth.jpg')
+    Image.fromarray(smooth).save(p, quality=95)
+
+    # 64x48 -> 16x12 exercises the 1/4 DCT scale
+    full = np.zeros((1, 12, 16, 3), np.uint8)
+    fast = np.zeros((1, 12, 16, 3), np.uint8)
+    s1 = native.decode_batch_into([p], full, fast_scale=False)
+    s2 = native.decode_batch_into([p], fast, fast_scale=True)
+    np.testing.assert_array_equal(s1, s2)  # original dims for box rescale
+    assert (s2 == [64, 48]).all()
+    diff = np.abs(full[0].astype(int) - fast[0].astype(int)).mean()
+    assert diff < 8.0
 
 
 def test_native_failure_marks_slot(jpegs, tmp_path):
