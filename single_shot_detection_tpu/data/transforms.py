@@ -6,10 +6,15 @@ box.py`` (photometric jitter, RandomExpand, OneOf(RandomCrop...),
 flips, Resize, ToFloatTensor, Normalize).
 
 TPU-first re-design: instead of materializing intermediate images per
-transform on the host, all *geometry* composes into a single per-image view
-``window`` (a rect in staged-image coordinates, possibly out of bounds for
-expand) plus a flip flag, and the entire batch is produced by ONE bilinear
-gather with out-of-bounds fill — then photometric + normalize fuse in.
+transform on the host, all *geometry* composes into a single per-image
+affine view ``[X, Y] = t + D @ [x, y]`` mapping current-frame pixels to
+staged-image coordinates, where ``D`` is a signed permutation (so flips and
+90-degree rotations are sign/axis changes, crops/expands are translations) —
+and the entire batch is produced by ONE bilinear resample with out-of-bounds
+fill, then photometric + normalize fuse in.  Because every geometric
+transform is a pure update of ``(D, t, frame size, boxes)``, transforms
+compose exactly in ANY config order (the reference's arbitrary-composition
+contract, transforms.py:13-25) and ``OneOf`` may select over any of them.
 Rejection sampling (the reference's 50 sequential crop attempts,
 functional/img.py:55-83) becomes 50 *parallel* candidates with a first-accept
 argmax.  Everything is fixed-shape, vmapped over the batch, and jitted.
@@ -112,8 +117,23 @@ def adjust_hue_saturation(rng, img, max_hue_delta, saturation_delta_range, p):
 # geometric ops on the (window, boxes, mask) state
 # ---------------------------------------------------------------------------
 # State: cur_w, cur_h — size of the virtual current image;
-#        origin (ox, oy) — current-frame (0,0) in staged coords;
+#        D [2,2] signed permutation, t [2] — current-frame pixel (x, y) maps
+#        to staged coords [X, Y] = t + D @ [x, y] (expand windows go out of
+#        bounds; flips negate a column of D; rot90 swaps D's columns);
+#        valid [4] — staged-coords rect (x0, y0, x1, y1, inclusive) still
+#        visible: crops shrink it so a later expand pads with fill instead of
+#        re-revealing cropped-away content (the reference materializes each
+#        crop, functional/img.py:55-83 — integer crop offsets make the
+#        pixel-granularity mask exact);
 #        boxes [G, R] in current-frame coords; mask [G].
+
+
+def identity_state(src_w, src_h, boxes, mask):
+    """Initial state: the current frame IS the staged image."""
+    return (jnp.float32(src_w), jnp.float32(src_h),
+            jnp.eye(2, dtype=jnp.float32), jnp.zeros(2, jnp.float32),
+            jnp.asarray([0.0, 0.0, src_w - 1.0, src_h - 1.0], jnp.float32),
+            boxes, mask)
 
 
 def expand_op(rng, state, aspect_ratio_range, area_range, p):
@@ -121,7 +141,7 @@ def expand_op(rng, state, aspect_ratio_range, area_range, p):
 
     Picks the first of 50 parallel candidates with new size >= current.
     """
-    cur_w, cur_h, ox, oy, boxes, mask = state
+    cur_w, cur_h, D, t, valid, boxes, mask = state
     k_ar, k_area, k_off, k_p = jax.random.split(rng, 4)
     ar = jax.random.uniform(k_ar, (ATTEMPTS,), minval=aspect_ratio_range[0],
                             maxval=aspect_ratio_range[1])
@@ -143,7 +163,9 @@ def expand_op(rng, state, aspect_ratio_range, area_range, p):
 
     boxes = boxes.at[:, 0].add(xmin).at[:, 2].add(xmin)
     boxes = boxes.at[:, 1].add(ymin).at[:, 3].add(ymin)
-    return (new_w, new_h, ox - xmin, oy - ymin, boxes, mask)
+    # new-frame pixel x' sees old content at x = x' - xmin
+    t = t - D @ jnp.stack([xmin, ymin])
+    return (new_w, new_h, D, t, valid, boxes, mask)
 
 
 def _crop_candidate_accept(boxes, mask, region, min_iou, keep_criterion,
@@ -190,7 +212,7 @@ def crop_op(rng, state, min_iou=0.5, aspect_ratio_range=(0.5, 2.0),
             min_objects_kept=1, p=0.5):
     """Rejection-sampled crop as 50 parallel candidates, first accept wins
     (parity: functional/img.py:55-83 + box.py:61-90)."""
-    cur_w, cur_h, ox, oy, boxes, mask = state
+    cur_w, cur_h, D, t, valid, boxes, mask = state
     k_ar, k_area, k_off, k_p = jax.random.split(rng, 4)
     ar = jax.random.uniform(k_ar, (ATTEMPTS,), minval=aspect_ratio_range[0],
                             maxval=aspect_ratio_range[1])
@@ -232,89 +254,145 @@ def crop_op(rng, state, min_iou=0.5, aspect_ratio_range=(0.5, 2.0),
     new_mask = jnp.where(apply, sel_keep, mask)
     out_w = jnp.where(apply, sel_w, cur_w)
     out_h = jnp.where(apply, sel_h, cur_h)
-    out_ox = jnp.where(apply, ox + sel_region[0], ox)
-    out_oy = jnp.where(apply, oy + sel_region[1], oy)
-    return (out_w, out_h, out_ox, out_oy, new_boxes, new_mask)
+    # new-frame pixel x' sees old content at x = x' + xmin
+    shift = jnp.where(apply, sel_region[:2], jnp.zeros(2))
+    t = t + D @ shift
+    # the crop discards everything outside the new frame: intersect the
+    # valid rect with the new frame's staged-coords footprint
+    p0 = t
+    p1 = t + D @ jnp.stack([out_w - 1.0, out_h - 1.0])
+    lo = jnp.minimum(p0, p1)
+    hi = jnp.maximum(p0, p1)
+    new_valid = jnp.stack([jnp.maximum(valid[0], lo[0]),
+                           jnp.maximum(valid[1], lo[1]),
+                           jnp.minimum(valid[2], hi[0]),
+                           jnp.minimum(valid[3], hi[1])])
+    valid = jnp.where(apply, new_valid, valid)
+    return (out_w, out_h, D, t, valid, new_boxes, new_mask)
 
 
-def rotate90(rng, img, boxes, mask):
-    """Random 90-degree rotation (parity: functional/img.py:37-53 +
-    box.py:33-59, which require square images).
-
-    Exact array rotation instead of the reference's ``warpAffine`` about
-    ``(S/2, S/2)`` (which misaligns by half a pixel for even sizes); boxes
-    rotate corner-exactly.  Applied eagerly on the staged image before any
-    view-window op.
-    """
-    assert img.shape[0] == img.shape[1], 'RandomRotate requires square input'
-    size = img.shape[0]
-    k = jax.random.randint(rng, (), 0, 4)
-
-    img = jax.lax.switch(k, [lambda m: m,
-                             lambda m: jnp.rot90(m, 1),
-                             lambda m: jnp.rot90(m, 2),
-                             lambda m: jnp.rot90(m, 3)], img)
-
-    def rot_once(b4):
-        # pixel (x, y) -> (y, size-1-x) under one array rot90
-        return jnp.stack([b4[:, 1], size - 1 - b4[:, 2],
-                          b4[:, 3], size - 1 - b4[:, 0]], axis=-1)
-
-    variants = [boxes[:, :4]]
-    for _ in range(3):
-        variants.append(rot_once(variants[-1]))
-    b4 = jnp.select([k == i for i in range(4)], variants)
-    return img, jnp.concatenate([b4, boxes[:, 4:]], axis=-1), mask
-
-
-def hflip_boxes(state, flip):
-    cur_w, cur_h, ox, oy, boxes, mask = state
+def hflip_op(rng, state, p):
+    """Horizontal mirror of the current frame (parity: functional/img.py:19-26
+    + box.py:21-27) as a window-map update: composes exactly with any later
+    expand/crop/rotate instead of being deferred to the final resample."""
+    cur_w, cur_h, D, t, valid, boxes, mask = state
+    flip = jax.random.uniform(rng) < p
     flipped = jnp.stack([cur_w - 1 - boxes[:, 2], boxes[:, 1],
                          cur_w - 1 - boxes[:, 0], boxes[:, 3]], axis=-1)
     boxes = jnp.where(flip, jnp.concatenate([flipped, boxes[:, 4:]], -1), boxes)
-    return (cur_w, cur_h, ox, oy, boxes, mask)
+    # new-frame x' sees old content at x = cur_w - 1 - x'
+    t = jnp.where(flip, t + D @ jnp.stack([cur_w - 1.0, jnp.float32(0.0)]), t)
+    D = jnp.where(flip, D * jnp.asarray([[-1.0, 1.0], [-1.0, 1.0]]), D)
+    return (cur_w, cur_h, D, t, valid, boxes, mask)
 
 
-def vflip_boxes(state, flip):
-    cur_w, cur_h, ox, oy, boxes, mask = state
+def vflip_op(rng, state, p):
+    """Vertical mirror (parity: functional/img.py:28-35 + box.py:29-31)."""
+    cur_w, cur_h, D, t, valid, boxes, mask = state
+    flip = jax.random.uniform(rng) < p
     flipped = jnp.stack([boxes[:, 0], cur_h - 1 - boxes[:, 3],
                          boxes[:, 2], cur_h - 1 - boxes[:, 1]], axis=-1)
     boxes = jnp.where(flip, jnp.concatenate([flipped, boxes[:, 4:]], -1), boxes)
-    return (cur_w, cur_h, ox, oy, boxes, mask)
+    t = jnp.where(flip, t + D @ jnp.stack([jnp.float32(0.0), cur_h - 1.0]), t)
+    D = jnp.where(flip, D * jnp.asarray([[1.0, -1.0], [1.0, -1.0]]), D)
+    return (cur_w, cur_h, D, t, valid, boxes, mask)
+
+
+_ROT = jnp.asarray([[0.0, -1.0], [1.0, 0.0]])  # one 90-degree step
+
+
+def rot90_op(rng, state):
+    """Random 90-degree rotation of the current frame (parity:
+    functional/img.py:37-53 + box.py:33-59).
+
+    Window-space: one rotation step maps new-frame (x', y') to old-frame
+    (s-1-y', x'), i.e. ``D @= ROT`` and ``t += D @ [s-1, 0]`` — so it may
+    appear ANYWHERE in the transform order.  Exact array rotation semantics
+    (the reference's ``warpAffine`` about ``(S/2, S/2)`` misaligns by half a
+    pixel for even sizes); boxes rotate corner-exactly.  Like the reference
+    (img.py:40 ``assert height == width``) a square frame is required; where
+    the reference crashes on non-square frames, this op is a no-op instead
+    (data-dependent raise is impossible under jit).
+    """
+    cur_w, cur_h, D, t, valid, boxes, mask = state
+    k = jax.random.randint(rng, (), 0, 4)
+    square = cur_w == cur_h
+    s = cur_w  # == cur_h whenever the rotation applies
+
+    def rot_boxes_once(b4):
+        # frame pixel (x, y) -> (y, s-1-x) under one rotation
+        return jnp.stack([b4[:, 1], s - 1 - b4[:, 2],
+                          b4[:, 3], s - 1 - b4[:, 0]], axis=-1)
+
+    d_vars, t_vars, b_vars = [D], [t], [boxes[:, :4]]
+    for _ in range(3):
+        Dp, tp = d_vars[-1], t_vars[-1]
+        t_vars.append(tp + Dp @ jnp.stack([s - 1.0, jnp.float32(0.0)]))
+        d_vars.append(Dp @ _ROT)
+        b_vars.append(rot_boxes_once(b_vars[-1]))
+
+    sel = [(k == i) & (square | (i == 0)) for i in range(4)]
+    sel[0] = sel[0] | ~square
+    D = jnp.select(sel, d_vars)
+    t = jnp.select(sel, t_vars)
+    b4 = jnp.select(sel, b_vars)
+    return (cur_w, cur_h, D, t, valid,
+            jnp.concatenate([b4, boxes[:, 4:]], axis=-1), mask)
 
 
 # ---------------------------------------------------------------------------
 # final gather
 # ---------------------------------------------------------------------------
 
-def sample_view(img, window, out_size, hflip, vflip, fill):
-    """Bilinear resample of ``window`` (staged coords, may be OOB) to
-    ``out_size`` — the fusion of expand/crop/flip/resize.
+def sample_view(img, window, out_size, fill):
+    """Bilinear resample of the affine view ``window = (cur_w, cur_h, D, t)``
+    (staged coords, may be OOB) to ``out_size`` — the fusion of
+    expand/crop/flip/rotate/resize.
 
-    TPU-first: the view transform is axis-separable (pure scale+translate,
-    no rotation), so instead of gathers (slow on TPU) it is computed as two
+    TPU-first: ``D`` is a signed permutation, so the view stays
+    axis-separable; instead of gathers (slow on TPU) it is computed as two
     MXU matmuls with per-image interpolation matrices:
-      ``out = Ry @ img @ Rx^T + (1 - coverage) * fill``
+      ``out = Ry @ img' @ Rx^T + (1 - coverage) * fill``
     where ``R[i, j] = relu(1 - |src_coord_i - j|)`` are exactly the bilinear
-    weights, rows of out-of-bounds coordinates sum < 1, and the coverage
+    weights, ``img'`` is the (possibly axis-swapped, for odd rotations)
+    staged image, rows of out-of-bounds coordinates sum < 1, and the coverage
     deficit blends in the fill color — matching gather-with-OOB-fill
     semantics bit-for-bit at boundaries.
     """
     out_w, out_h = out_size
-    wx0, wy0, cur_w, cur_h = window
-    src_h, src_w = img.shape[0], img.shape[1]
+    cur_w, cur_h, D, t, valid = window
+    assert img.shape[0] == img.shape[1], 'staged images must be square'
+    src = img.shape[0]
 
-    xs = (jnp.arange(out_w) + 0.5) * cur_w / out_w - 0.5
-    ys = (jnp.arange(out_h) + 0.5) * cur_h / out_h - 0.5
-    xs = jnp.where(hflip, (cur_w - 1) - xs, xs)
-    ys = jnp.where(vflip, (cur_h - 1) - ys, ys)
-    sx = wx0 + xs  # [out_w]
-    sy = wy0 + ys  # [out_h]
+    xs = (jnp.arange(out_w) + 0.5) * cur_w / out_w - 0.5  # frame x per out col
+    ys = (jnp.arange(out_h) + 0.5) * cur_h / out_h - 0.5  # frame y per out row
 
-    rx = jnp.maximum(0.0, 1.0 - jnp.abs(sx[:, None] - jnp.arange(src_w)[None, :]))
-    ry = jnp.maximum(0.0, 1.0 - jnp.abs(sy[:, None] - jnp.arange(src_h)[None, :]))
+    # staged X = t0 + D00*x + D01*y ; staged Y = t1 + D10*x + D11*y.
+    # Exactly one term of each is nonzero.  When D is diagonal,
+    # out[r, c] = img[Y(r), X(c)]; when anti-diagonal (odd rotation),
+    # out[r, c] = img[Y(c), X(r)] = imgT[X(r), Y(c)] — same two-matmul form
+    # over the transposed image.
+    swap = jnp.abs(D[0, 1]) > 0.5
+    row_coords = jnp.where(swap, t[0], t[1]) + (D[0, 1] + D[1, 1]) * ys
+    col_coords = jnp.where(swap, t[1], t[0]) + (D[1, 0] + D[0, 0]) * xs
+
+    grid = jnp.arange(src)
+    ry = jnp.maximum(0.0, 1.0 - jnp.abs(row_coords[:, None] - grid[None, :]))
+    rx = jnp.maximum(0.0, 1.0 - jnp.abs(col_coords[:, None] - grid[None, :]))
+
+    # staged pixels cropped away earlier (outside the valid rect) read as
+    # fill: zero their interpolation weights so the coverage deficit blends
+    # the fill color in (crop offsets are integers — the mask is exact)
+    row_lo = jnp.where(swap, valid[0], valid[1])
+    row_hi = jnp.where(swap, valid[2], valid[3])
+    col_lo = jnp.where(swap, valid[1], valid[0])
+    col_hi = jnp.where(swap, valid[3], valid[2])
+    gridf = grid.astype(jnp.float32)
+    ry = ry * ((gridf >= row_lo) & (gridf <= row_hi))[None, :]
+    rx = rx * ((gridf >= col_lo) & (gridf <= col_hi))[None, :]
 
     img_f = img.astype(jnp.float32)
+    img_f = jnp.where(swap, jnp.transpose(img_f, (1, 0, 2)), img_f)
     tmp = jnp.einsum('yi,ijc->yjc', ry, img_f,
                      preferred_element_type=jnp.float32)
     out = jnp.einsum('yjc,xj->yxc', tmp, rx,
@@ -326,6 +404,41 @@ def sample_view(img, window, out_size, hflip, vflip, fill):
 # ---------------------------------------------------------------------------
 # pipeline assembly from reference-schema config lists
 # ---------------------------------------------------------------------------
+
+PHOTOMETRIC_KINDS = ('brightness', 'contrast', 'hue_saturation')
+
+
+def _apply_geom(kind, kw, key, state):
+    """Apply one geometric transform to the window/box state.
+
+    ``oneof`` evaluates every branch and selects one uniformly (the
+    reference's OneOf, transforms.py:19-21) — all branches are pure state
+    updates, so selection is a tree of ``jnp.select``.
+    """
+    if kind == 'identity':
+        return state
+    if kind == 'rot90':
+        return rot90_op(key, state)
+    if kind == 'expand':
+        return expand_op(key, state, kw['aspect_ratio_range'],
+                         kw['area_range'], kw['p'])
+    if kind == 'crop':
+        return crop_op(key, state, **kw)
+    if kind == 'hflip':
+        return hflip_op(key, state, kw['p'])
+    if kind == 'vflip':
+        return vflip_op(key, state, kw['p'])
+    if kind == 'oneof':
+        k_pick, k_op = jax.random.split(key)
+        pick = jax.random.randint(k_pick, (), 0, len(kw))
+        results = [_apply_geom(bk, bkw, k_op, state) for bk, bkw in kw]
+        if len(results) == 1:
+            return results[0]
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.select([pick == i for i in range(len(xs))],
+                                   list(xs)),
+            *results)
+    raise AssertionError(f'unknown geometric kind: {kind}')
 
 class Pipeline:
     """Config-driven batched augmentation+preprocessing
@@ -351,55 +464,13 @@ class Pipeline:
 
         specs = list(augmentations) if train else []
         for spec in specs:
-            name = spec['name']
-            args = dict(spec.get('args', {}))
-            p = args.pop('p', 0.5)
-            if name in ('ToFloat', 'ToUint8', 'Identity'):
-                continue  # dtype staging is implicit on-device
-            elif name == 'RandomRotate':
-                if any(kind in ('expand', 'oneof') for kind, _ in self.geometric):
-                    raise NotImplementedError(
-                        'RandomRotate must precede expand/crop on-device')
-                self.geometric.append(('rot90', {}))
-            elif name == 'RandomAdjustBrightness':
-                self.photometric.append(('brightness', {
-                    'max_delta': args['max_brightness_delta'], 'p': p}))
-            elif name == 'RandomAdjustContrast':
-                self.photometric.append(('contrast', {
-                    'delta_range': tuple(args['contrast_delta_range']), 'p': p}))
-            elif name == 'RandomAdjustHueSaturation':
-                self.photometric.append(('hue_saturation', {
-                    'max_hue_delta': args.get('max_hue_delta'),
-                    'saturation_delta_range':
-                        tuple(args['saturation_delta_range'])
-                        if args.get('saturation_delta_range') else None,
-                    'p': p}))
-            elif name == 'RandomExpand':
-                self.geometric.append(('expand', {
-                    'aspect_ratio_range': tuple(args.get('aspect_ratio_range', (0.5, 2.0))),
-                    'area_range': tuple(args.get('area_range', (1.0, 16.0))),
-                    'p': p}))
-            elif name == 'RandomCrop':
-                self.geometric.append(('oneof', [('crop', _crop_args(args, p))]))
-            elif name == 'OneOf':
-                branches = []
-                for sub in args['transforms']:
-                    sub_args = dict(sub.get('args', {}))
-                    sub_p = sub_args.pop('p', 0.5)
-                    if sub['name'] == 'Identity':
-                        branches.append(('identity', {}))
-                    elif sub['name'] == 'RandomCrop':
-                        branches.append(('crop', _crop_args(sub_args, sub_p)))
-                    else:
-                        raise NotImplementedError(
-                            f'OneOf over {sub["name"]} not supported on-device')
-                self.geometric.append(('oneof', branches))
-            elif name == 'RandomHorizontalFlip':
-                self.geometric.append(('hflip', {'p': p}))
-            elif name == 'RandomVerticalFlip':
-                self.geometric.append(('vflip', {'p': p}))
-            else:
-                raise NotImplementedError(f'Unsupported augmentation: {name}')
+            entry = self._parse_one(spec)
+            if entry is not None:
+                kind, kw = entry
+                if kind in PHOTOMETRIC_KINDS:
+                    self.photometric.append((kind, kw))
+                else:
+                    self.geometric.append((kind, kw))
 
         for spec in preprocessing:
             name = spec['name']
@@ -416,6 +487,59 @@ class Pipeline:
                 raise NotImplementedError(f'Unsupported preprocessing: {name}')
 
         self._jitted = jax.jit(self._run_batch)
+
+    def _parse_one(self, spec):
+        """One config transform spec -> (kind, kwargs), or None for no-ops.
+
+        Every geometric kind is a pure update of the window/box state, so
+        any order — and any nesting under ``OneOf`` — is supported (parity:
+        the reference composes transforms freely, transforms.py:13-25).
+        """
+        name = spec['name']
+        args = dict(spec.get('args', {}))
+        p = args.pop('p', 0.5)
+        if name in ('ToFloat', 'ToUint8'):
+            return None  # dtype staging is implicit on-device
+        if name == 'Identity':
+            return ('identity', {})
+        if name == 'RandomRotate':
+            return ('rot90', {})
+        if name == 'RandomAdjustBrightness':
+            return ('brightness', {
+                'max_delta': args['max_brightness_delta'], 'p': p})
+        if name == 'RandomAdjustContrast':
+            return ('contrast', {
+                'delta_range': tuple(args['contrast_delta_range']), 'p': p})
+        if name == 'RandomAdjustHueSaturation':
+            return ('hue_saturation', {
+                'max_hue_delta': args.get('max_hue_delta'),
+                'saturation_delta_range':
+                    tuple(args['saturation_delta_range'])
+                    if args.get('saturation_delta_range') else None,
+                'p': p})
+        if name == 'RandomExpand':
+            return ('expand', {
+                'aspect_ratio_range': tuple(args.get('aspect_ratio_range', (0.5, 2.0))),
+                'area_range': tuple(args.get('area_range', (1.0, 16.0))),
+                'p': p})
+        if name == 'RandomCrop':
+            return ('crop', _crop_args(args, p))
+        if name == 'RandomHorizontalFlip':
+            return ('hflip', {'p': p})
+        if name == 'RandomVerticalFlip':
+            return ('vflip', {'p': p})
+        if name == 'OneOf':
+            branches = []
+            for sub in args['transforms']:
+                entry = self._parse_one(sub)
+                if entry is None:
+                    entry = ('identity', {})
+                if entry[0] in PHOTOMETRIC_KINDS:
+                    raise NotImplementedError(
+                        f'OneOf over photometric {sub["name"]} not supported')
+                branches.append(entry)
+            return ('oneof', branches)
+        raise NotImplementedError(f'Unsupported augmentation: {name}')
 
     def _run_one(self, rng, img, boxes, mask):
         img = img.astype(jnp.float32)
@@ -435,49 +559,16 @@ class Pipeline:
 
         fill = jnp.mean(img, axis=(0, 1))  # expand fill (functional/img.py:105)
 
-        src_h, src_w = img.shape[0], img.shape[1]
-        state = (jnp.float32(src_w), jnp.float32(src_h),
-                 jnp.float32(0.0), jnp.float32(0.0), boxes, mask)
-        hflip = jnp.bool_(False)
-        vflip = jnp.bool_(False)
-
+        state = identity_state(img.shape[1], img.shape[0], boxes, mask)
         for kind, kw in self.geometric:
             key = keys[ki]; ki += 1
-            if kind == 'rot90':
-                cur_w, cur_h, ox, oy, bx, mk = state
-                img, bx, mk = rotate90(key, img, bx, mk)
-                fill = jnp.mean(img, axis=(0, 1))
-                state = (cur_w, cur_h, ox, oy, bx, mk)
-            elif kind == 'expand':
-                state = expand_op(key, state, kw['aspect_ratio_range'],
-                                  kw['area_range'], kw['p'])
-            elif kind == 'oneof':
-                k_pick, k_op = jax.random.split(key)
-                pick = jax.random.randint(k_pick, (), 0, len(kw))
-                results = []
-                for branch_kind, branch_kw in kw:
-                    if branch_kind == 'identity':
-                        results.append(state)
-                    else:
-                        results.append(crop_op(k_op, state, **branch_kw))
-                state = jax.tree_util.tree_map(
-                    lambda *xs: jnp.select(
-                        [pick == i for i in range(len(xs))], list(xs)),
-                    *results)
-            elif kind == 'hflip':
-                do = jax.random.uniform(key) < kw['p']
-                hflip = hflip ^ do
-                state = hflip_boxes(state, do)
-            elif kind == 'vflip':
-                do = jax.random.uniform(key) < kw['p']
-                vflip = vflip ^ do
-                state = vflip_boxes(state, do)
+            state = _apply_geom(kind, kw, key, state)
 
-        cur_w, cur_h, ox, oy, boxes, mask = state
+        cur_w, cur_h, D, t, valid, boxes, mask = state
         out_w, out_h = self.input_size
 
-        out = sample_view(img, (ox, oy, cur_w, cur_h), (out_w, out_h),
-                          hflip, vflip, fill)
+        out = sample_view(img, (cur_w, cur_h, D, t, valid), (out_w, out_h),
+                          fill)
 
         # box resize to output frame + clip (functional/box.py:8-19)
         sx = out_w / cur_w

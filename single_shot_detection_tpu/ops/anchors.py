@@ -42,12 +42,16 @@ class SsdAnchorGenerator:
                  num_branches: int = 1,
                  flip: bool = True,
                  clip: bool = False):
+        # scale-vs-size exclusivity (same constraints the reference enforces,
+        # ssd.py:69-76): max_* requires its min_*, and the relative-scale /
+        # absolute-size parameterizations are mutually exclusive
         if max_scale is not None and min_scale is None:
-            raise ValueError('"max_scale" should be provided along with "min_scale"')
+            raise ValueError('max_scale requires min_scale to be set too')
         if max_size is not None and min_size is None:
-            raise ValueError('"max_size" should be provided along with "min_size"')
+            raise ValueError('max_size requires min_size to be set too')
         if min_scale is not None and min_size is not None:
-            raise ValueError('Either "min_scale" or "min_size" should be provided')
+            raise ValueError('min_scale and min_size are mutually exclusive — '
+                             'configure scales or absolute sizes, not both')
 
         self.min_scale = min_scale
         self.max_scale = max_scale

@@ -42,12 +42,16 @@ def mean_average_precision(predictions,
                            verbose: bool = True) -> float:
     """Vectorized mAP with the reference's exact greedy semantics.
 
-    Groups predictions by (image, class); within a group the greedy
-    per-GT-dedup assignment reduces to "the highest-scored prediction whose
-    argmax-IoU GT is g wins g" (grouped ``np.unique``), which matches the
-    reference's sequential loop because matching never crosses image/class
-    boundaries.  Predictions matched to ``difficult`` GT are ignored (neither
-    TP nor FP), exactly as mean_average_precision.py:62-69.
+    The greedy score-ordered assignment with per-GT dedup reduces to "the
+    highest-scored prediction whose argmax-IoU GT is g wins g", which never
+    crosses (image, class) group boundaries.  So: pack every group's GT into
+    one padded ``[G, K, 4]`` table, compute every prediction's argmax-IoU GT
+    in chunked batched numpy (no per-group python loop — COCO-scale eval is
+    ~400k groups), and resolve the dedup with ONE global ``np.unique`` over
+    ``(group, best_gt)`` keys restricted to eligible predictions, whose first
+    occurrences in global score order are exactly the winners.  Predictions
+    matched to ``difficult`` GT are ignored (neither TP nor FP), exactly as
+    mean_average_precision.py:62-69.
     """
     predictions = np.asarray(predictions, dtype=np.float64)
     if predictions.ndim != 2 or predictions.size == 0:
@@ -58,66 +62,92 @@ def mean_average_precision(predictions,
 
     ignore_difficult = len(gts) > 0 and gts[0].shape[1] > DIFFICULT_INDEX
     total_positive = defaultdict(int)
-    gt_grouped = {}
-    for img_id, gt in enumerate(gts):
-        for class_index in np.unique(gt[:, CLASS_INDEX]).astype(int):
-            rows = gt[gt[:, CLASS_INDEX] == class_index]
-            gt_grouped[(img_id, class_index)] = rows
-            if ignore_difficult:
-                total_positive[class_index] += int((rows[:, DIFFICULT_INDEX] == 0).sum())
-            else:
-                total_positive[class_index] += len(rows)
 
+    # ---- padded per-(image, class) GT table ------------------------------
+    n_gt = sum(len(g) for g in gts)
+    gt_rows = (np.concatenate([g for g in gts if len(g)], axis=0)
+               if n_gt else np.zeros((0, 7 if ignore_difficult else 5)))
+    gt_img = (np.concatenate([np.full(len(g), i, np.int64)
+                              for i, g in enumerate(gts) if len(g)])
+              if n_gt else np.zeros(0, np.int64))
+    gt_cls = gt_rows[:, CLASS_INDEX].astype(np.int64) if n_gt else np.zeros(0, np.int64)
+    gt_difficult = (gt_rows[:, DIFFICULT_INDEX] != 0 if ignore_difficult and n_gt
+                    else np.zeros(n_gt, bool))
+
+    for c, tp_count in zip(*np.unique(gt_cls[~gt_difficult], return_counts=True)):
+        total_positive[int(c)] = int(tp_count)
+    for c in np.unique(gt_cls):  # classes whose GT is all-difficult still count
+        total_positive.setdefault(int(c), 0)
+
+    n_cls = int(max(gt_cls.max() + 1 if n_gt else 1, 1))
+    gt_key = gt_img * n_cls + gt_cls
+    # stable sort keeps each group's rows in file order (argmax-tie parity
+    # with the reference's per-group candidate array)
+    gt_order = np.argsort(gt_key, kind='stable')
+    group_keys, group_start, group_count = np.unique(
+        gt_key[gt_order], return_index=True, return_counts=True)
+    num_groups = len(group_keys)
+    K = int(group_count.max()) if num_groups else 1
+
+    padded = np.zeros((num_groups, K, 4))
+    padded_difficult = np.zeros((num_groups, K), bool)
+    slot_valid = np.arange(K)[None, :] < group_count[:, None]
+    if n_gt:
+        g_sorted = gt_rows[gt_order]
+        padded[slot_valid] = g_sorted[:, LOC_INDEX_START:LOC_INDEX_END]
+        padded_difficult[slot_valid] = gt_difficult[gt_order]
+    gt_area = (np.clip(padded[..., 2] - padded[..., 0], 0, None)
+               * np.clip(padded[..., 3] - padded[..., 1], 0, None))
+
+    # ---- match every prediction against its group's table ----------------
     # global score order (stable, matching torch argsort descending)
     order = np.argsort(-predictions[:, 6], kind='stable')
     predictions = predictions[order]
 
     n = len(predictions)
+    pred_img = predictions[:, 0].astype(np.int64)
+    pred_cls = predictions[:, 5].astype(np.int64)
+    pred_key = pred_img * n_cls + pred_cls
+    gidx = np.searchsorted(group_keys, pred_key)
+    gidx_safe = np.minimum(gidx, max(num_groups - 1, 0))
+    if num_groups:
+        has_gt = (group_keys[gidx_safe] == pred_key) \
+            & (pred_cls >= 0) & (pred_cls < n_cls)
+    else:
+        has_gt = np.zeros(n, bool)
+
+    best = np.zeros(n, np.int64)
+    best_iou = np.full(n, -np.inf)
+    chunk = max(1, int(4_000_000 // max(K, 1)))
+    with np.errstate(invalid='ignore', divide='ignore'):
+        for lo in range(0, n if num_groups else 0, chunk):
+            hi = min(lo + chunk, n)
+            boxes = predictions[lo:hi, 1:5]
+            cand = padded[gidx_safe[lo:hi]]            # [c, K, 4]
+            valid = slot_valid[gidx_safe[lo:hi]]       # [c, K]
+            mins = np.maximum(boxes[:, None, :2], cand[..., :2])
+            maxs = np.minimum(boxes[:, None, 2:], cand[..., 2:])
+            inter = (np.clip(maxs[..., 0] - mins[..., 0], 0, None)
+                     * np.clip(maxs[..., 1] - mins[..., 1], 0, None))
+            area_p = (np.clip(boxes[:, 2] - boxes[:, 0], 0, None)
+                      * np.clip(boxes[:, 3] - boxes[:, 1], 0, None))
+            iou = inter / (area_p[:, None] + gt_area[gidx_safe[lo:hi]] - inter)
+            iou[~valid] = -np.inf  # padding never wins argmax
+            best[lo:hi] = iou.argmax(axis=1)
+            best_iou[lo:hi] = iou[np.arange(hi - lo), best[lo:hi]]
+
+    above = has_gt & (best_iou > iou_threshold)
+    is_difficult = (padded_difficult[gidx_safe, best] & has_gt
+                    if num_groups else np.zeros(n, bool))
+
+    # first eligible prediction (global score order) per (group, GT) wins:
+    # np.unique's return_index picks exactly the first occurrence
+    elig = np.nonzero(above & ~is_difficult)[0]
+    _, first = np.unique(gidx_safe[elig] * K + best[elig], return_index=True)
     tp_flag = np.zeros(n, bool)
-    fp_flag = np.zeros(n, bool)
-    pred_img = predictions[:, 0].astype(int)
-    pred_cls = predictions[:, 5].astype(int)
-
-    # group rows by (image, class) preserving score order within groups
-    group_keys = pred_img.astype(np.int64) * (pred_cls.max() + 1 if n else 1) \
-        + pred_cls if n else np.zeros(0, np.int64)
-    for key in np.unique(group_keys):
-        sel = np.nonzero(group_keys == key)[0]
-        img_id = pred_img[sel[0]]
-        class_index = pred_cls[sel[0]]
-        candidates = gt_grouped.get((img_id, class_index))
-        if candidates is None:
-            fp_flag[sel] = True
-            continue
-        boxes = predictions[sel, 1:5]
-        g = candidates[:, LOC_INDEX_START:LOC_INDEX_END]
-        mins = np.maximum(boxes[:, None, :2], g[None, :, :2])
-        maxs = np.minimum(boxes[:, None, 2:], g[None, :, 2:])
-        inter = (np.clip(maxs[..., 0] - mins[..., 0], 0, None)
-                 * np.clip(maxs[..., 1] - mins[..., 1], 0, None))
-        area_p = (np.clip(boxes[:, 2] - boxes[:, 0], 0, None)
-                  * np.clip(boxes[:, 3] - boxes[:, 1], 0, None))
-        area_g = (np.clip(g[:, 2] - g[:, 0], 0, None)
-                  * np.clip(g[:, 3] - g[:, 1], 0, None))
-        iou = inter / (area_p[:, None] + area_g[None, :] - inter)
-
-        best = iou.argmax(axis=1)
-        best_iou = iou[np.arange(len(sel)), best]
-        above = best_iou > iou_threshold
-        if ignore_difficult:
-            is_difficult = candidates[best, DIFFICULT_INDEX] != 0
-        else:
-            is_difficult = np.zeros(len(sel), bool)
-        # first prediction (score order) per matched GT wins
-        first_winner = np.zeros(len(sel), bool)
-        seen = set()
-        for i in range(len(sel)):
-            if above[i] and not is_difficult[i] and best[i] not in seen:
-                first_winner[i] = True
-                seen.add(int(best[i]))
-        tp_flag[sel] = first_winner
-        # matched-to-difficult predictions are ignored entirely
-        fp_flag[sel] = ~first_winner & ~(above & is_difficult)
+    tp_flag[elig[first]] = True
+    # matched-to-difficult predictions are ignored entirely
+    fp_flag = ~tp_flag & ~(above & is_difficult)
 
     average_precision = {c: 0.0 for c in total_positive}
     if verbose:
@@ -126,7 +156,11 @@ def mean_average_precision(predictions,
     for class_index in sorted(total_positive.keys()):
         sel = pred_cls == class_index
         # drop ignored predictions (difficult matches): duplicate cumulative
-        # points contribute nothing to the envelope/integral
+        # points contribute nothing to the envelope/integral.  Deliberate
+        # divergence: when a class's HIGHEST-scored prediction matches a
+        # difficult GT the reference's cumulative arrays start 0/0 and its AP
+        # (and whole mAP) becomes NaN (mean_average_precision.py:62-97);
+        # dropping the row keeps the metric finite.
         counted = tp_flag[sel] | fp_flag[sel]
         tp = np.cumsum(tp_flag[sel][counted]).astype(np.float64)
         fp = np.cumsum(fp_flag[sel][counted]).astype(np.float64)

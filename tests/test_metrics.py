@@ -98,3 +98,59 @@ def test_vectorized_matches_loop_implementation():
         slow_voc = mean_average_precision_loop(preds, gts, {}, 0.5, voc=True,
                                                verbose=False)
         np.testing.assert_allclose(fast_voc, slow_voc, atol=1e-9)
+
+
+def test_difficult_first_prediction_stays_finite():
+    """Reference divergence (documented): when the top-scored prediction of a
+    class matches a difficult GT, the reference's cumulative 0/0 yields NaN;
+    the vectorized path drops ignored rows and stays finite."""
+    gts = [np.array([[10, 10, 50, 50, 1, 1, 1],      # difficult
+                     [60, 60, 90, 90, 1, 1, 0]])]
+    preds = np.array([
+        [0, 10, 10, 50, 50, 1, 0.9],   # matches the difficult box -> ignored
+        [0, 60, 60, 90, 90, 1, 0.8],   # true positive
+    ])
+    ap = mean_average_precision(preds, gts, LABELS, 0.5, verbose=False)
+    assert np.isfinite(ap)
+    assert ap == 1.0
+
+
+def test_no_gt_at_all_returns_zero():
+    preds = np.array([[0, 10, 10, 50, 50, 1, 0.9]])
+    gts = [np.zeros((0, 7))]
+    assert mean_average_precision(preds, gts, LABELS, 0.5, verbose=False) == 0.0
+
+
+def test_larger_fuzz_matches_loop_oracle():
+    """Volume fuzz (no difficult boxes — see the NaN divergence note)."""
+    from single_shot_detection_tpu.ops.metrics import \
+        mean_average_precision_loop
+    rng = np.random.RandomState(7)
+    n_img, n_cls = 40, 12
+    gts = []
+    for _ in range(n_img):
+        k = rng.randint(0, 8)
+        xy = rng.rand(k, 2) * 200
+        wh = rng.rand(k, 2) * 60 + 4
+        cls = rng.randint(1, n_cls + 1, (k, 1)).astype(float)
+        gts.append(np.concatenate([xy, xy + wh, cls, np.ones((k, 1)),
+                                   np.zeros((k, 1))], 1))
+    rows = []
+    for i in range(n_img):
+        for _ in range(rng.randint(0, 30)):
+            if len(gts[i]) and rng.rand() < 0.7:
+                base = gts[i][rng.randint(len(gts[i]))]
+                box = base[:4] + rng.randn(4) * 6
+                c = base[4] if rng.rand() < 0.8 else rng.randint(1, n_cls + 1)
+            else:
+                xy = rng.rand(2) * 200
+                box = np.concatenate([xy, xy + rng.rand(2) * 60 + 4])
+                c = rng.randint(1, n_cls + 1)
+            rows.append([i, *box, c, rng.rand()])
+    preds = np.asarray(rows)
+    for voc in (False, True):
+        fast = mean_average_precision(preds, gts, {}, 0.5, voc=voc,
+                                      verbose=False)
+        slow = mean_average_precision_loop(preds, gts, {}, 0.5, voc=voc,
+                                           verbose=False)
+        assert abs(fast - slow) < 1e-9, (voc, fast, slow)

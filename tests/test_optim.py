@@ -122,3 +122,25 @@ def test_lr_groups(rng):
     new = optax.apply_updates(params, updates)
     np.testing.assert_allclose(np.asarray(new['backbone']['w']), 0.9, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(new['head']['w']), 0.99, rtol=1e-6)
+
+
+def test_plateau_scale_with_accumulation(rng):
+    """lr_scale (plateau decay) multiplies the ACCUMULATED update exactly
+    once per optimizer step under optax.MultiSteps (step.py:139-141):
+    mid-accumulation micro-steps emit zero updates, so scaling them is a
+    no-op, and the emitted update is scaled by the current factor."""
+    import jax
+    import optax
+    params = {'w': jnp.ones(3)}
+    g = {'w': jnp.full(3, 2.0)}
+    tx = optimizers.create_optimizer({'name': 'SGD', 'lr': 0.1},
+                                     accumulation_steps=2)
+    state = tx.init(params)
+    lr_scale = 0.5
+    for _ in range(2):  # one accumulation window
+        updates, state = tx.update(g, state, params)
+        updates = jax.tree_util.tree_map(lambda u: u * lr_scale, updates)
+        params = optax.apply_updates(params, updates)
+    # mean grad over the window = 2.0; delta = -lr * mean_grad * scale
+    np.testing.assert_allclose(np.asarray(params['w']),
+                               1.0 - 0.1 * 2.0 * 0.5, rtol=1e-6)

@@ -7,7 +7,8 @@ from single_shot_detection_tpu.data.transforms import (Pipeline, _hsv_to_rgb,
                                                        adjust_brightness,
                                                        adjust_contrast,
                                                        crop_op, expand_op,
-                                                       hflip_boxes,
+                                                       hflip_op,
+                                                       identity_state,
                                                        sample_view)
 
 
@@ -52,34 +53,36 @@ def test_brightness_and_contrast_bounds(rng):
     assert float(out.min()) >= 0 and float(out.max()) <= 255
 
 
-def test_hflip_boxes_reference_semantics():
+def test_hflip_op_reference_semantics():
     # reference: x0', x2' = w-1-x2, w-1-x0 (functional/box.py:21-24)
-    state = (jnp.float32(100), jnp.float32(50), jnp.float32(0), jnp.float32(0),
+    state = (jnp.float32(100), jnp.float32(50), jnp.eye(2), jnp.zeros(2),
+             jnp.asarray([0.0, 0, 99, 49]),
              jnp.asarray([[10.0, 5, 30, 25, 1, 1, 0]]), jnp.asarray([True]))
-    _, _, _, _, boxes, _ = hflip_boxes(state, jnp.bool_(True))
+    _, _, D, t, _, boxes, _ = hflip_op(jax.random.PRNGKey(0), state, p=1.0)
     np.testing.assert_allclose(np.asarray(boxes)[0, :4], [69, 5, 89, 25])
+    # window map mirrors: frame x -> staged 99 - x
+    np.testing.assert_allclose(np.asarray(D)[0], [-1, 0])
+    np.testing.assert_allclose(float(t[0]), 99)
 
 
 def test_expand_op_grows_and_offsets_boxes():
     boxes = jnp.asarray([[10.0, 10, 30, 30, 1, 1, 0]])
-    state = (jnp.float32(100), jnp.float32(100), jnp.float32(0), jnp.float32(0),
-             boxes, jnp.asarray([True]))
-    w, h, ox, oy, out_boxes, _ = expand_op(jax.random.PRNGKey(0), state,
-                                           (0.5, 2.0), (2.0, 4.0), p=1.0)
+    state = identity_state(100, 100, boxes, jnp.asarray([True]))
+    w, h, D, t, _, out_boxes, _ = expand_op(jax.random.PRNGKey(0), state,
+                                         (0.5, 2.0), (2.0, 4.0), p=1.0)
     assert float(w) >= 100 and float(h) >= 100
-    # box offset equals window origin shift
-    np.testing.assert_allclose(float(out_boxes[0, 0]) - 10.0, -float(ox))
-    np.testing.assert_allclose(float(out_boxes[0, 1]) - 10.0, -float(oy))
+    # box offset equals window origin shift (D = identity here)
+    np.testing.assert_allclose(float(out_boxes[0, 0]) - 10.0, -float(t[0]))
+    np.testing.assert_allclose(float(out_boxes[0, 1]) - 10.0, -float(t[1]))
 
 
 def test_crop_op_keeps_center_boxes():
     # one big box covering the middle: any accepted crop must keep it
     boxes = jnp.asarray([[30.0, 30, 70, 70, 2, 1, 0]])
-    state = (jnp.float32(100), jnp.float32(100), jnp.float32(0), jnp.float32(0),
-             boxes, jnp.asarray([True]))
+    state = identity_state(100, 100, boxes, jnp.asarray([True]))
     accepted_any = False
     for i in range(5):
-        w, h, ox, oy, out_boxes, out_mask = crop_op(
+        w, h, D, t, _, out_boxes, out_mask = crop_op(
             jax.random.PRNGKey(i), state, min_iou=0.0,
             area_range=(0.5, 1.0), p=1.0)
         if float(w) < 100 or float(h) < 100:
@@ -93,17 +96,22 @@ def test_crop_op_keeps_center_boxes():
 
 def test_crop_op_empty_target_accepts():
     boxes = jnp.zeros((2, 7))
-    state = (jnp.float32(100), jnp.float32(100), jnp.float32(0), jnp.float32(0),
-             boxes, jnp.zeros((2,), bool))
+    state = identity_state(100, 100, boxes, jnp.zeros((2,), bool))
     w, h, *_ = crop_op(jax.random.PRNGKey(0), state, min_iou=0.5, p=1.0)
     assert float(w) <= 100 and float(h) <= 100  # crop applied
 
 
+def _window(cur_w, cur_h, D=None, t=(0.0, 0.0), valid=None):
+    D = jnp.eye(2) if D is None else jnp.asarray(D, jnp.float32)
+    if valid is None:
+        valid = (-1e9, -1e9, 1e9, 1e9)
+    return (jnp.float32(cur_w), jnp.float32(cur_h), D,
+            jnp.asarray(t, jnp.float32), jnp.asarray(valid, jnp.float32))
+
+
 def test_sample_view_identity():
     img = jnp.arange(4 * 4 * 3, dtype=jnp.float32).reshape(4, 4, 3)
-    out = sample_view(img, (jnp.float32(0), jnp.float32(0),
-                            jnp.float32(4), jnp.float32(4)), (4, 4),
-                      jnp.bool_(False), jnp.bool_(False), jnp.zeros(3))
+    out = sample_view(img, _window(4, 4), (4, 4), jnp.zeros(3))
     np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
 
 
@@ -111,20 +119,27 @@ def test_sample_view_oob_fill():
     img = jnp.ones((4, 4, 3), jnp.float32) * 100
     fill = jnp.asarray([7.0, 8.0, 9.0])
     # window entirely left of the image
-    out = sample_view(img, (jnp.float32(-10), jnp.float32(0),
-                            jnp.float32(4), jnp.float32(4)), (4, 4),
-                      jnp.bool_(False), jnp.bool_(False), fill)
+    out = sample_view(img, _window(4, 4, t=(-10.0, 0.0)), (4, 4), fill)
     np.testing.assert_allclose(np.asarray(out)[0, 0], [7, 8, 9])
 
 
 def test_sample_view_hflip():
     img = jnp.asarray(np.arange(16, dtype=np.float32).reshape(4, 4, 1))
     img = jnp.tile(img, (1, 1, 3))
-    out = sample_view(img, (jnp.float32(0), jnp.float32(0),
-                            jnp.float32(4), jnp.float32(4)), (4, 4),
-                      jnp.bool_(True), jnp.bool_(False), jnp.zeros(3))
+    out = sample_view(img, _window(4, 4, D=[[-1, 0], [0, 1]], t=(3.0, 0.0)),
+                      (4, 4), jnp.zeros(3))
     np.testing.assert_allclose(np.asarray(out)[:, :, 0],
                                np.asarray(img)[:, ::-1, 0], atol=1e-5)
+
+
+def test_sample_view_rot90():
+    """An anti-diagonal window map reproduces jnp.rot90 exactly."""
+    img = jnp.asarray(np.random.RandomState(0).rand(6, 6, 3).astype(np.float32))
+    # one rotation step from identity: D = ROT, t = [s-1, 0]
+    out = sample_view(img, _window(6, 6, D=[[0, -1], [1, 0]], t=(5.0, 0.0)),
+                      (6, 6), jnp.zeros(3))
+    np.testing.assert_allclose(np.asarray(out), np.rot90(np.asarray(img), 1),
+                               atol=1e-5)
 
 
 def test_full_train_pipeline_runs(rng):
@@ -170,21 +185,26 @@ def test_full_train_pipeline_runs(rng):
 
 def test_random_rotate_consistency(rng):
     """Rotated boxes still frame the rotated content."""
-    import jax
-    from single_shot_detection_tpu.data.transforms import rotate90
+    from single_shot_detection_tpu.data.transforms import rot90_op
     img = np.zeros((32, 32, 3), np.float32)
     img[4:12, 20:30] = 255.0  # patch at rows 4..11, cols 20..29
     boxes = jnp.asarray([[20.0, 4, 29, 11, 1, 1, 0]])
     mask = jnp.asarray([True])
+    rotated = 0
     for seed in range(8):
-        out_img, out_boxes, _ = rotate90(jax.random.PRNGKey(seed),
-                                         jnp.asarray(img), boxes, mask)
+        state = identity_state(32, 32, boxes, mask)
+        w, h, D, t, v, out_boxes, _ = rot90_op(jax.random.PRNGKey(seed), state)
+        out_img = sample_view(jnp.asarray(img), (w, h, D, t, v), (32, 32),
+                              jnp.zeros(3))
+        if not np.allclose(np.asarray(D), np.eye(2)):
+            rotated += 1
         b = np.asarray(out_boxes[0, :4]).astype(int)
         oi = np.asarray(out_img)
         inside = oi[b[1]:b[3] + 1, b[0]:b[2] + 1]
         assert inside.mean() > 200  # the patch is inside the rotated box
         total_bright = (oi > 200).sum()
         assert total_bright == (img > 200).sum()  # nothing lost
+    assert rotated >= 3  # k != 0 actually occurs
 
 
 def test_random_rotate_pipeline():
@@ -213,20 +233,37 @@ def test_match_bipartite():
     assert idx[1] == 1   # column 0 consumed
 
 
-def test_boxes_track_content_through_full_pipeline(rng):
-    """Property: a bright patch framed by a GT box stays inside the
-    transformed box through photometric + expand + crop + flip + resize."""
-    augmentations = [
-        {'name': 'RandomAdjustBrightness', 'args': {'max_brightness_delta': .05}},
-        {'name': 'RandomExpand',
-         'args': {'aspect_ratio_range': (0.5, 2.0), 'area_range': (1.0, 9.0)}},
-        {'name': 'OneOf', 'args': {'transforms': [
-            {'name': 'Identity'},
-            {'name': 'RandomCrop', 'args': {'min_iou': .1}},
-            {'name': 'RandomCrop', 'args': {'min_iou': .5}},
-        ]}},
-        {'name': 'RandomHorizontalFlip'},
-    ]
+_EXPAND = {'name': 'RandomExpand',
+           'args': {'aspect_ratio_range': (0.5, 2.0), 'area_range': (1.0, 9.0)}}
+_CROP_ONEOF = {'name': 'OneOf', 'args': {'transforms': [
+    {'name': 'Identity'},
+    {'name': 'RandomCrop', 'args': {'min_iou': .1}},
+    {'name': 'RandomCrop', 'args': {'min_iou': .5}},
+]}}
+_HFLIP = {'name': 'RandomHorizontalFlip'}
+_VFLIP = {'name': 'RandomVerticalFlip'}
+_ROTATE = {'name': 'RandomRotate'}
+_BRIGHT = {'name': 'RandomAdjustBrightness',
+           'args': {'max_brightness_delta': .05}}
+# geometric transforms must compose in ANY config order (the reference
+# applies them sequentially on materialized images, transforms.py:13-17);
+# flips/rotations BEFORE expand/crop exercise the window-map composition.
+_ORDERINGS = [
+    [_BRIGHT, _EXPAND, _CROP_ONEOF, _HFLIP],        # shipped-config order
+    [_HFLIP, _EXPAND, _CROP_ONEOF],                 # flip first
+    [_VFLIP, _HFLIP, _CROP_ONEOF, _EXPAND],         # flips first, expand last
+    [_EXPAND, _HFLIP, _CROP_ONEOF, _VFLIP],         # flip between expand/crop
+    [_ROTATE, _EXPAND, _CROP_ONEOF, _HFLIP],        # rotate then geometry
+    [{'name': 'OneOf', 'args': {'transforms': [    # OneOf over mixed kinds
+        _HFLIP, _EXPAND, {'name': 'RandomCrop', 'args': {'min_iou': .1}},
+        {'name': 'Identity'}]}},
+     _HFLIP],
+]
+
+
+def _track_content(augmentations, n_seeds=12, min_checked=6):
+    """A bright patch framed by a GT box must stay inside the transformed
+    box through the whole chain — for any transform ordering."""
     pipe = Pipeline(augmentations=augmentations,
                     preprocessing=[{'name': 'ToFloatTensor',
                                     'args': {'normalize': True}}],
@@ -239,7 +276,7 @@ def test_boxes_track_content_through_full_pipeline(rng):
     mask[0, 0] = True
 
     checked = 0
-    for seed in range(12):
+    for seed in range(n_seeds):
         out, ob, om = pipe(jax.random.PRNGKey(seed), jnp.asarray(img),
                            jnp.asarray(boxes), jnp.asarray(mask))
         if not bool(om[0, 0]):
@@ -257,4 +294,13 @@ def test_boxes_track_content_through_full_pipeline(rng):
         y_lo, y_hi = np.percentile(ys, [10, 90])
         assert b[0] - 2 <= x_lo and x_hi <= b[2] + 2, (seed, b, (x_lo, x_hi))
         assert b[1] - 2 <= y_lo and y_hi <= b[3] + 2, (seed, b, (y_lo, y_hi))
-    assert checked >= 6
+    assert checked >= min_checked
+
+
+def test_boxes_track_content_through_full_pipeline(rng):
+    _track_content(_ORDERINGS[0])
+
+
+def test_boxes_track_content_any_transform_order(rng):
+    for order in _ORDERINGS[1:]:
+        _track_content(order)
