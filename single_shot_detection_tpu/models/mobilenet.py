@@ -58,18 +58,24 @@ class MobileNet(nn.Module):
     min_depth: int = 4
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
+    width_overrides: Any = None  # {stage: width} — pruning-materialize
 
     num_stages = 14
 
     def depth(self, d: int) -> int:
         return max(int(d * self.depth_multiplier), self.min_depth)
 
+    def _width(self, stage: int, default: int) -> int:
+        if self.width_overrides and stage in self.width_overrides:
+            return self.width_overrides[stage]
+        return default
+
     @nn.compact
     def __call__(self, x, train: bool = False, max_stage: Optional[int] = None):
         last = self.num_stages - 1 if max_stage is None else max_stage
         stages = []
 
-        x = nn.Conv(self.depth(32), (3, 3), strides=(2, 2),
+        x = nn.Conv(self._width(0, self.depth(32)), (3, 3), strides=(2, 2),
                     padding=tf_same_pad(3, 2), use_bias=False,
                     dtype=self.dtype, name='stage0_conv')(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -81,7 +87,7 @@ class MobileNet(nn.Module):
         for i, (features, stride) in enumerate(_MBV1_STAGES, start=1):
             if i > last:
                 return stages, {}
-            x = _SeparableBlock(self.depth(features), stride,
+            x = _SeparableBlock(self._width(i, self.depth(features)), stride,
                                 axis_name=self.axis_name, dtype=self.dtype,
                                 name=f'stage{i}')(x, train)
             stages.append(x)

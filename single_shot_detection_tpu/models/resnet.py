@@ -22,6 +22,8 @@ class BasicBlock(nn.Module):
     downsample: bool = False
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
+    width1: Optional[int] = None      # pruning-materialize: conv1 out
+    out_width: Optional[int] = None   # pruning-materialize: block out
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -31,15 +33,17 @@ class BasicBlock(nn.Module):
                                 dtype=self.dtype, name=name)
 
         identity = x
-        out = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
+        w1 = self.width1 or self.features
+        w_out = self.out_width or self.features
+        out = nn.Conv(w1, (3, 3), strides=(self.stride,) * 2,
                       padding=((1, 1), (1, 1)), use_bias=False,
                       dtype=self.dtype, name='conv1')(x)
         out = nn.relu(bn('bn1')(out))
-        out = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
+        out = nn.Conv(w_out, (3, 3), padding=((1, 1), (1, 1)),
                       use_bias=False, dtype=self.dtype, name='conv2')(out)
         out = bn('bn2')(out)
         if self.downsample:
-            identity = nn.Conv(self.features, (1, 1),
+            identity = nn.Conv(w_out, (1, 1),
                                strides=(self.stride,) * 2, use_bias=False,
                                dtype=self.dtype, name='downsample_conv')(x)
             identity = bn('downsample_bn')(identity)
@@ -54,6 +58,9 @@ class Bottleneck(nn.Module):
     base_width: int = 64
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
+    width1: Optional[int] = None      # pruning-materialize: conv1 out
+    width2: Optional[int] = None      # pruning-materialize: conv2 out
+    out_width: Optional[int] = None   # pruning-materialize: block out
 
     expansion = 4
 
@@ -65,19 +72,22 @@ class Bottleneck(nn.Module):
                                 dtype=self.dtype, name=name)
 
         width = int(self.features * (self.base_width / 64.0)) * self.groups
+        w1 = self.width1 or width
+        w2 = self.width2 or width
+        w_out = self.out_width or self.features * self.expansion
         identity = x
-        out = nn.Conv(width, (1, 1), use_bias=False, dtype=self.dtype,
+        out = nn.Conv(w1, (1, 1), use_bias=False, dtype=self.dtype,
                       name='conv1')(x)
         out = nn.relu(bn('bn1')(out))
-        out = nn.Conv(width, (3, 3), strides=(self.stride,) * 2,
+        out = nn.Conv(w2, (3, 3), strides=(self.stride,) * 2,
                       padding=((1, 1), (1, 1)), feature_group_count=self.groups,
                       use_bias=False, dtype=self.dtype, name='conv2')(out)
         out = nn.relu(bn('bn2')(out))
-        out = nn.Conv(self.features * self.expansion, (1, 1), use_bias=False,
+        out = nn.Conv(w_out, (1, 1), use_bias=False,
                       dtype=self.dtype, name='conv3')(out)
         out = bn('bn3')(out)
         if self.downsample:
-            identity = nn.Conv(self.features * self.expansion, (1, 1),
+            identity = nn.Conv(w_out, (1, 1),
                                strides=(self.stride,) * 2, use_bias=False,
                                dtype=self.dtype, name='downsample_conv')(x)
             identity = bn('downsample_bn')(identity)
@@ -93,6 +103,8 @@ class ResNet(nn.Module):
     width_per_group: int = 64
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
+    width_overrides: Any = None  # {block_name: {'conv1','conv2','out'}} —
+    #                               pruning-materialize narrow widths
 
     num_stages = 8
 
@@ -128,16 +140,23 @@ class ResNet(nn.Module):
                 zip((64, 128, 256, 512), self.layers)):
             stride = 1 if i == 0 else 2
             for j in range(count):
+                name = f'layer{i + 1}_{j}'
                 kwargs = dict(features=features,
                               stride=stride if j == 0 else 1,
                               downsample=(j == 0 and
                                           (stride != 1 or
                                            in_features != features * expansion)),
                               axis_name=self.axis_name, dtype=self.dtype,
-                              name=f'layer{i + 1}_{j}')
+                              name=name)
                 if self.block == 'bottleneck':
                     kwargs.update(groups=self.groups,
                                   base_width=self.width_per_group)
+                if self.width_overrides and name in self.width_overrides:
+                    ov = self.width_overrides[name]
+                    kwargs['width1'] = ov.get('conv1')
+                    kwargs['out_width'] = ov.get('out')
+                    if self.block == 'bottleneck':
+                        kwargs['width2'] = ov.get('conv2')
                 x = block_cls(**kwargs)(x, train)
                 in_features = features * expansion
             stages.append(x)

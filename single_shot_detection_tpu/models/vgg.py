@@ -34,6 +34,7 @@ class VGG(nn.Module):
     use_bn: bool = True
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
+    width_overrides: Any = None  # {conv_idx: width} — pruning-materialize
 
     @property
     def num_stages(self):
@@ -58,6 +59,8 @@ class VGG(nn.Module):
                 if push(x):
                     return stages, {}
             else:
+                if self.width_overrides and conv_idx in self.width_overrides:
+                    item = self.width_overrides[conv_idx]
                 x = nn.Conv(item, (3, 3), padding=((1, 1), (1, 1)),
                             use_bias=True, dtype=self.dtype,
                             name=f'conv{conv_idx}')(x)

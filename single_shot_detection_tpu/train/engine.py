@@ -284,12 +284,22 @@ class Experiment:
         self._needs_taylor = False
         if self.pruner_cfg:
             from single_shot_detection_tpu.train import pruning
+            from single_shot_detection_tpu.train.materialize import \
+                build_channel_spaces
+            # trace-time channel-dependency analysis (deps.py) gives the
+            # Pruner exact writer groups + companion arrays for any topology
+            spaces = build_channel_spaces(
+                self.bundle.module,
+                {'params': self.state.params,
+                 'batch_stats': self.state.batch_stats},
+                self.input_size)
             self.pruner = pruning.Pruner(
                 self.state.params,
                 criterion=self.pruner_cfg.get('criterion',
                                               {'name': 'MinL1Norm'}),
                 include_paths=self.pruner_cfg.get('include_paths'),
-                num=self.pruner_cfg.get('num', 1))
+                num=self.pruner_cfg.get('num', 1),
+                spaces=spaces)
             # data-dependent criterions are fed on a step cadence (the
             # replacement for the reference's forward/backward hooks,
             # _hooks.py:4-29 via pruner.py:72-76)
@@ -574,7 +584,7 @@ class Experiment:
             self.bundle,
             {'params': self.state.params,
              'batch_stats': self.state.batch_stats},
-            self.pruner.dead)
+            self.pruner.dead, spaces=self.pruner.spaces)
 
     def predict(self, image: np.ndarray):
         """Single-image inference (parity: detector_wrapper.py:49-65):

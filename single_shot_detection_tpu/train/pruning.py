@@ -322,16 +322,75 @@ class Pruner:
     residual-group sharing and last-channel protection), and returns a new
     TrainState with those channels exactly zeroed in params and masked in
     the optimizer.
+
+    When ``spaces`` (train/deps.py jaxpr analysis) is provided, writer
+    groups and the per-channel companion arrays (BN scale/bias, conv bias)
+    come from the traced dataflow — exact for ANY topology; otherwise the
+    structural MobileNetV2-convention fallback (``residual_groups`` +
+    name-mapped BN siblings) is used.
     """
 
     def __init__(self, params, criterion: dict,
-                 include_paths: Optional[Sequence[str]] = None, num: int = 1):
+                 include_paths: Optional[Sequence[str]] = None, num: int = 1,
+                 spaces=None):
         self.num = num
         name = criterion['name']
         self.criterion = CRITERIONS[name](params, include_paths,
                                           **criterion.get('args', {}))
-        self.groups = residual_groups(params)
+        self.spaces = spaces
+        self._space_index = None
+        if spaces is not None:
+            self._space_index = self._index_spaces(spaces)
+            self.groups = self._groups_from_spaces(spaces)
+            # ensure every kernel has a group entry
+            for k in conv_kernel_paths(params):
+                self.groups.setdefault(k, [k])
+        else:
+            self.groups = residual_groups(params)
         self.dead: Dict[Path, set] = {}
+
+    @staticmethod
+    def _index_spaces(spaces):
+        """kernel param-tree path -> [(space, writer member)]."""
+        idx: Dict[Path, list] = {}
+        for s in spaces:
+            for m in s.members:
+                if m.role in ('producer', 'depthwise') and m.path[0] == 'params':
+                    idx.setdefault(m.path[1:], []).append((s, m))
+        return idx
+
+    @staticmethod
+    def _groups_from_spaces(spaces) -> Dict[Path, List[Path]]:
+        """Writers of one space prune together (criterions.py:46-76 analog).
+
+        Only full-width, zero-offset writers join a group — a depthwise
+        kernel spanning a concatenation keeps its own scores.
+        """
+        groups: Dict[Path, List[Path]] = {}
+        for s in spaces:
+            writers = [m.path[1:] for m in s.members
+                       if m.role in ('producer', 'depthwise')
+                       and m.path[0] == 'params' and m.offset == 0]
+            if len(writers) > 1:
+                for w in writers:
+                    groups[w] = list(writers)
+        return groups
+
+    def _space_companions(self, kernel_path: Path, channel: int):
+        """(path, axis, index) triples to zero for one pruned channel, from
+        the traced dataflow; None when the kernel is in no analyzed space."""
+        entries = self._space_index.get(kernel_path) if self._space_index else None
+        if not entries:
+            return None
+        for s, m in entries:
+            if m.offset <= channel < m.offset + s.width:
+                space_ch = channel - m.offset
+                out = [(kernel_path, 3, channel)]
+                for v in s.members:
+                    if v.role == 'vector' and v.path[0] == 'params':
+                        out.append((v.path[1:], 0, v.offset + space_ch))
+                return out
+        return None
 
     def _group_scores(self, scores: Dict[Path, np.ndarray]) -> Dict[Path, np.ndarray]:
         """Share scores across residual writer groups by elementwise max
@@ -389,16 +448,20 @@ class Pruner:
             for member in self.groups.get(kernel_path, [kernel_path]):
                 self.dead.setdefault(member, set()).add(channel)
                 logging.info(f'{".".join(member)} #{channel}')
-                for path, axis in _companions(params, member):
+                companions = self._space_companions(member, channel)
+                if companions is None:
+                    companions = [(p, a, channel)
+                                  for p, a in _companions(params, member)]
+                for path, axis, index in companions:
                     arr = _get(params, path)
-                    zeroed = arr * self._keep_mask(arr, axis, channel)
+                    zeroed = arr * self._keep_mask(arr, axis, index)
                     params = _set(params, path, zeroed)
                     flat_key = path
                     m = mask_updates.get(flat_key)
                     if m is None:
                         m = np.ones(arr.shape[axis] if arr.ndim else 1,
                                     np.float32)
-                    m[channel] = 0.0
+                    m[index] = 0.0
                     mask_updates[flat_key] = m
 
         opt_state = self._apply_mask_updates(state.opt_state, state.params,

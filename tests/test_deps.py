@@ -1,0 +1,149 @@
+"""jaxpr channel-dependency analyzer (train/deps.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from single_shot_detection_tpu.train import deps
+
+
+class ConcatNet(nn.Module):
+    """Two branches concatenated, then consumed — exercises per-segment
+    consumer offsets."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        a = nn.Conv(4, (1, 1), name='conv_a', use_bias=True)(x)
+        b = nn.Conv(6, (1, 1), name='conv_b', use_bias=False)(x)
+        y = jnp.concatenate([a, b], axis=-1)
+        return nn.Conv(3, (1, 1), name='conv_out', use_bias=False)(y)
+
+
+def test_concat_consumer_offsets():
+    m = ConcatNet()
+    variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 2)))
+    spaces = deps.analyze_module(m, variables, (1, 8, 8, 2))
+
+    def space_of(prod_name):
+        for s in spaces:
+            for mem in s.by_role('producer'):
+                if mem.path[-2] == prod_name:
+                    return s
+        raise AssertionError(prod_name)
+
+    sa = space_of('conv_a')
+    sb = space_of('conv_b')
+    assert sa.width == 4 and sb.width == 6
+    # conv_out consumes segment a at offset 0 and segment b at offset 4
+    cons_a = [m_ for m_ in sa.by_role('consumer')
+              if m_.path[-2] == 'conv_out']
+    cons_b = [m_ for m_ in sb.by_role('consumer')
+              if m_.path[-2] == 'conv_out']
+    assert cons_a and cons_a[0].axis == 2 and cons_a[0].offset == 0
+    assert cons_b and cons_b[0].axis == 2 and cons_b[0].offset == 4
+    # conv_a's bias is a discovered vector of space a
+    vecs = {v.path[-1] for v in sa.by_role('vector')}
+    assert 'bias' in vecs
+
+
+class ResidualNet(nn.Module):
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = nn.Conv(8, (1, 1), name='conv1', use_bias=False)(x)
+        h = h + nn.Conv(8, (1, 1), name='conv2', use_bias=False)(x)
+        return nn.Conv(2, (1, 1), name='head', use_bias=False)(h)
+
+
+def test_residual_union_and_output_freeze():
+    m = ResidualNet()
+    variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 4, 3)))
+    spaces = deps.analyze_module(m, variables, (1, 4, 4, 3))
+    joined = [s for s in spaces if len(s.by_role('producer')) == 2]
+    assert len(joined) == 1 and joined[0].width == 8
+    assert not joined[0].frozen
+    # the head's own out space reaches the model output -> frozen
+    head = [s for s in spaces
+            if any(m_.path[-2] == 'head' for m_ in s.by_role('producer'))]
+    assert head and head[0].frozen
+
+
+class ReshapeEscape(nn.Module):
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = nn.Conv(6, (1, 1), name='conv', use_bias=False)(x)
+        return h.reshape(h.shape[0], -1)  # splits the channel axis
+
+
+def test_channel_splitting_reshape_freezes():
+    m = ReshapeEscape()
+    variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 4, 3)))
+    spaces = deps.analyze_module(m, variables, (1, 4, 4, 3))
+    (s,) = [s for s in spaces
+            if any(m_.path[-2] == 'conv' for m_ in s.by_role('producer'))]
+    assert s.frozen
+
+
+def test_depthwise_flows_space_through():
+    class DW(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            h = nn.Conv(8, (1, 1), name='pw', use_bias=False)(x)
+            h = nn.Conv(8, (3, 3), feature_group_count=8, name='dw',
+                        use_bias=False, padding='SAME')(h)
+            return nn.Conv(2, (1, 1), name='head', use_bias=False)(h)
+
+    m = DW()
+    variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    spaces = deps.analyze_module(m, variables, (1, 8, 8, 3))
+    (s,) = [s for s in spaces
+            if any(m_.path[-2] == 'pw' for m_ in s.by_role('producer'))]
+    dw = [m_ for m_ in s.by_role('depthwise')]
+    assert dw and dw[0].path[-2] == 'dw' and dw[0].axis == 3
+    cons = [m_ for m_ in s.by_role('consumer')]
+    assert any(m_.path[-2] == 'head' for m_ in cons)
+
+
+def test_materialize_slices_concat_consumer():
+    """Pruning a channel of branch b must slice conv_out's in-axis at the
+    shifted offset and keep outputs identical."""
+    import optax
+    from single_shot_detection_tpu.train import pruning
+    from single_shot_detection_tpu.train.materialize import materialize
+
+    m = ConcatNet()
+    variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 2)))
+    spaces = deps.analyze_module(m, variables, (1, 8, 8, 2))
+
+    dead = {('conv_b', 'kernel'): {1, 3}, ('conv_a', 'kernel'): {2}}
+    # zero those channels first (masked model)
+    params = jax.tree_util.tree_map(lambda v: np.array(v, copy=True),
+                                    variables['params'])
+    for (name, _), chans in dead.items():
+        k = params[name]['kernel']
+        for c in chans:
+            k[..., c] = 0.0
+        if 'bias' in params[name]:
+            for c in chans:
+                params[name]['bias'][c] = 0.0
+    masked_vars = {'params': jax.tree_util.tree_map(jnp.asarray, params)}
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 2))
+    masked_out = m.apply(masked_vars, x)
+
+    new_vars, widths = materialize(masked_vars, dead, spaces)
+    assert widths[('conv_a',)] == 3 and widths[('conv_b',)] == 4
+    assert new_vars['params']['conv_out']['kernel'].shape[2] == 7
+
+    class Narrow(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            a = nn.Conv(3, (1, 1), name='conv_a', use_bias=True)(x)
+            b = nn.Conv(4, (1, 1), name='conv_b', use_bias=False)(x)
+            y = jnp.concatenate([a, b], axis=-1)
+            return nn.Conv(3, (1, 1), name='conv_out', use_bias=False)(y)
+
+    narrow_out = Narrow().apply(
+        {'params': jax.tree_util.tree_map(jnp.asarray, new_vars['params'])}, x)
+    np.testing.assert_allclose(np.asarray(masked_out), np.asarray(narrow_out),
+                               rtol=1e-5, atol=1e-5)

@@ -4,9 +4,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from single_shot_detection_tpu.models import builder
-from single_shot_detection_tpu.train import create_train_state, pruning
+from single_shot_detection_tpu.train import create_train_state, deps, pruning
 from single_shot_detection_tpu.train.materialize import (build_channel_spaces,
                                                          materialize_bundle)
 
@@ -23,44 +24,74 @@ def flagship_like():
         input_size=(96, 96))
 
 
+def vgg_like():
+    # ssd_300_vgg16_voc-shaped (small input / few scales for test speed)
+    return builder.build(
+        base={'name': 'torchvision_vgg16_bn'},
+        anchor_generator={'type': 'ssd', 'num_scales': 2, 'min_scale': 0.2,
+                          'max_scale': 0.9, 'aspect_ratios': [[1.0, 2.0]] * 2},
+        num_classes=5, use_depthwise=False,
+        features={'name': 'Features', 'out_layers': (32, 42),
+                  'last_feature_layer': 42},
+        extras=None, input_size=(64, 64))
+
+
+def resnet_like():
+    return builder.build(
+        base={'name': 'torchvision_resnet18'},
+        anchor_generator={'type': 'ssd', 'num_scales': 2, 'min_scale': 0.2,
+                          'max_scale': 0.9, 'aspect_ratios': [[1.0, 2.0]] * 2},
+        num_classes=5, use_depthwise=False,
+        features={'name': 'Features', 'out_layers': (6, 7)},
+        extras=None, input_size=(64, 64))
+
+
 def test_channel_spaces_cover_all_convs():
     bundle = flagship_like()
     variables = bundle.init(jax.random.PRNGKey(0))
-    spaces = build_channel_spaces(variables['params'])
-    covered = set()
-    for s in spaces:
-        for p in s.producers + s.depthwise + s.consumers:
-            covered.add(p)
-    kernels = {k[:-1] for k in pruning.conv_kernel_paths(variables['params'])}
-    missing = kernels - covered
-    assert not missing, f'conv modules not in any space: {missing}'
-    # every non-head conv is a producer or depthwise member of some space
-    producers = set()
-    for s in spaces:
-        producers.update(s.producers + s.depthwise)
-    non_heads = {k for k in kernels if not k[0].startswith(('score_', 'loc_'))}
-    assert not (non_heads - producers), non_heads - producers
+    spaces = build_channel_spaces(bundle.module, variables, bundle.input_size)
+    kernels = {('params',) + k
+               for k in pruning.conv_kernel_paths(variables['params'])}
+    writers = {m.path for s in spaces for m in s.members
+               if m.role in ('producer', 'depthwise')}
+    assert not (kernels - writers), kernels - writers
 
 
-def test_materialized_equals_masked():
-    bundle = flagship_like()
+def test_channel_spaces_tie_residual_chains():
+    bundle = resnet_like()
+    variables = bundle.init(jax.random.PRNGKey(0))
+    spaces = build_channel_spaces(bundle.module, variables, bundle.input_size)
+    # layer1 has 2 basic blocks: conv2 outs + the stem join in one space
+    for s in spaces:
+        prods = {m.path[2:] for m in s.by_role('producer')}
+        if ('base', 'layer1_0', 'conv2', 'kernel') in prods:
+            assert ('base', 'layer1_1', 'conv2', 'kernel') in prods
+            break
+    else:
+        raise AssertionError('no space with layer1_0/conv2 producer')
+
+
+def _roundtrip(bundle, include_paths, num):
     tx = pruning.masked(optax.sgd(1e-2))
     variables = bundle.init(jax.random.PRNGKey(0))
     state = create_train_state(variables, tx)
+    spaces = build_channel_spaces(bundle.module, variables, bundle.input_size)
 
     pruner = pruning.Pruner(state.params, {'name': 'MinL1Norm'},
-                            include_paths=['features', 'extra'], num=12)
+                            include_paths=include_paths, num=num,
+                            spaces=spaces)
     state = pruner.prune(state)
     assert pruner.dead
 
-    x = jax.random.normal(jax.random.PRNGKey(1), (2, 96, 96, 3))
+    w, h = bundle.input_size
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, h, w, 3))
     masked_out = bundle.module.apply(
         {'params': state.params, 'batch_stats': state.batch_stats},
         x, train=False)
 
     new_bundle, new_vars = materialize_bundle(
         bundle, {'params': state.params, 'batch_stats': state.batch_stats},
-        pruner.dead)
+        pruner.dead, spaces=spaces)
     narrow_out = new_bundle.module.apply(
         {'params': jax.tree_util.tree_map(jnp.asarray, new_vars['params']),
          'batch_stats': jax.tree_util.tree_map(jnp.asarray,
@@ -71,9 +102,20 @@ def test_materialized_equals_masked():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
 
-    # the narrow model is actually smaller
     old_size = sum(np.size(v) for v in
                    jax.tree_util.tree_leaves(state.params))
     new_size = sum(np.size(v) for v in
                    jax.tree_util.tree_leaves(new_vars['params']))
     assert new_size < old_size
+
+
+def test_materialized_equals_masked():
+    _roundtrip(flagship_like(), ['features', 'extra'], num=12)
+
+
+def test_materialized_equals_masked_vgg():
+    _roundtrip(vgg_like(), ['features'], num=10)
+
+
+def test_materialized_equals_masked_resnet():
+    _roundtrip(resnet_like(), ['features'], num=10)
