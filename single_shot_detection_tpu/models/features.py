@@ -72,6 +72,8 @@ class FeaturePyramid(nn.Module):
     last_feature_layer: Optional[int] = None
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
+    width_overrides: Any = None  # {'lateral': n, 'output': (n0, ...)} —
+    #                               pruning-materialize narrow widths
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -80,9 +82,14 @@ class FeaturePyramid(nn.Module):
         sources = [aux[tuple(l)] if isinstance(l, (tuple, list)) else stages[l]
                    for l in self.out_layers]
 
-        groups = self.pyramid_channels if self.use_depthwise else 1
+        ov = self.width_overrides or {}
+        lateral_ch = ov.get('lateral', self.pyramid_channels)
 
-        feats = [nn.Conv(self.pyramid_channels, (1, 1), kernel_init=xavier,
+        def out_ch(i):
+            outs = ov.get('output')
+            return outs[i] if outs and outs[i] else self.pyramid_channels
+
+        feats = [nn.Conv(lateral_ch, (1, 1), kernel_init=xavier,
                          dtype=self.dtype, name=f'lateral{i}')(s)
                  for i, s in enumerate(sources)]
 
@@ -94,9 +101,12 @@ class FeaturePyramid(nn.Module):
         for i in range(self.pyramid_layers):
             extra = i >= len(feats)
             inp = outputs[-1] if extra else feats[i]
-            outputs.append(ConvBn(self.pyramid_channels, kernel_size=3,
+            # depthwise output convs flow their input's channel count
+            width = inp.shape[-1] if self.use_depthwise else out_ch(i)
+            outputs.append(ConvBn(width, kernel_size=3,
                                   stride=2 if extra else 1, padding=1,
-                                  groups=groups, activation=self.activation,
+                                  groups=inp.shape[-1] if self.use_depthwise
+                                  else 1, activation=self.activation,
                                   axis_name=self.axis_name, dtype=self.dtype,
                                   name=f'output{i}')(inp, train))
         return outputs, outputs[-1]

@@ -323,7 +323,11 @@ def analyze_jaxpr(closed_jaxpr, param_paths: Sequence[Optional[Path]]
                 interp._freeze_ann(ann)
                 ann = None
             setout(ann)
-        elif name in ('slice', 'dynamic_slice', 'gather', 'dynamic_update_slice',
+        elif name == 'gather':
+            _gather(eqn)
+        elif name == 'slice':
+            _slice(eqn)
+        elif name in ('dynamic_slice', 'dynamic_update_slice',
                       'scatter', 'scatter_add'):
             for a in ins:
                 ann = read(a)
@@ -543,6 +547,53 @@ def analyze_jaxpr(closed_jaxpr, param_paths: Sequence[Optional[Path]]
                 new_axis = ann.axis - sum(1 for d in axes if d < ann.axis)
                 ann = dataclasses.replace(ann, axis=new_axis)
         env[eqn.outvars[0]] = ann
+
+    def _gather(eqn):
+        """Spatial gathers (e.g. jax.image.resize nearest) keep channel
+        annotations when the channel axis is fully sliced, not collapsed,
+        and not indexed; anything else freezes."""
+        operand = eqn.invars[0]
+        ann = read(operand)
+        idx_ann = read(eqn.invars[1])
+        if isinstance(idx_ann, (ChanAnn, VecAnn)):
+            interp._freeze_ann(idx_ann)
+        if not isinstance(ann, (ChanAnn, VecAnn)):
+            env[eqn.outvars[0]] = None if ann != _UNIFORM else None
+            return
+        dn = eqn.params['dimension_numbers']
+        slice_sizes = eqn.params['slice_sizes']
+        c = ann.axis
+        op_shape = shape(operand)
+        ok = (slice_sizes[c] == op_shape[c]
+              and c not in dn.collapsed_slice_dims
+              and c not in dn.start_index_map)
+        if not ok:
+            interp._freeze_ann(ann)
+            env[eqn.outvars[0]] = None
+            return
+        kept = [d for d in range(len(op_shape))
+                if d not in dn.collapsed_slice_dims]
+        out_axis = dn.offset_dims[kept.index(c)]
+        env[eqn.outvars[0]] = dataclasses.replace(ann, axis=out_axis)
+
+    def _slice(eqn):
+        """Static slices keep annotations when the channel axis is taken
+        whole (stride 1, full range)."""
+        (inv,) = eqn.invars
+        ann = read(inv)
+        if not isinstance(ann, (ChanAnn, VecAnn)):
+            env[eqn.outvars[0]] = ann if ann == _UNIFORM else None
+            return
+        c = ann.axis
+        start = eqn.params['start_indices'][c]
+        limit = eqn.params['limit_indices'][c]
+        strides = eqn.params['strides']
+        stride = 1 if strides is None else strides[c]
+        if start == 0 and limit == shape(inv)[c] and stride == 1:
+            env[eqn.outvars[0]] = ann
+        else:
+            interp._freeze_ann(ann)
+            env[eqn.outvars[0]] = None
 
     def _pad(eqn):
         inv = eqn.invars[0]

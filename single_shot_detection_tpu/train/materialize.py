@@ -231,7 +231,25 @@ def materialize_bundle(bundle, variables, dead: Dict[Path, set],
             f'materialize_bundle: no width-override support for '
             f'{type(old_backbone).__name__}')
 
-    new_neck = dataclasses.replace(old_module.features, base=new_backbone)
+    from single_shot_detection_tpu.models.features import FeaturePyramid
+    neck_kwargs = {'base': new_backbone}
+    if isinstance(old_module.features, FeaturePyramid):
+        # laterals share one space (top-down adds union them); output convs
+        # are per-level
+        lat = widths.get(('features', 'lateral0'))
+        outs = []
+        i = 0
+        while ('features', f'output{i}', 'conv') in widths:
+            outs.append(widths[('features', f'output{i}', 'conv')])
+            i += 1
+        ov = {}
+        if lat is not None:
+            ov['lateral'] = lat
+        if outs:
+            ov['output'] = tuple(outs)
+        if ov:
+            neck_kwargs['width_overrides'] = ov
+    new_neck = dataclasses.replace(old_module.features, **neck_kwargs)
 
     extras_overrides = []
     for i, _ in enumerate(old_module.extras):

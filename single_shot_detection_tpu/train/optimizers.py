@@ -96,12 +96,108 @@ def rmsprop(lr: Schedule, alpha: float = 0.99, eps: float = 1e-8,
     return optax.chain(*parts)
 
 
+def adagrad(lr: Schedule, lr_decay: float = 0.0, eps: float = 1e-10,
+            weight_decay: float = 0.0,
+            initial_accumulator_value: float = 0.0,
+            **_) -> optax.GradientTransformation:
+    """torch.optim.Adagrad semantics: ``acc += g²``,
+    ``p -= lr_t * g / (sqrt(acc) + eps)`` with
+    ``lr_t = lr / (1 + (t-1) * lr_decay)``."""
+    import jax.numpy as jnp
+
+    def init_fn(params):
+        return {'acc': jax.tree_util.tree_map(
+                    lambda p: jnp.full_like(p, initial_accumulator_value),
+                    params),
+                'count': jnp.zeros((), jnp.int32)}
+
+    def update_fn(updates, state, params=None):
+        if weight_decay:
+            updates = jax.tree_util.tree_map(lambda g, p: g + weight_decay * p,
+                                             updates, params)
+        acc = jax.tree_util.tree_map(lambda a, g: a + g * g,
+                                     state['acc'], updates)
+        count = state['count'] + 1
+        base = lr(count) if callable(lr) else lr
+        lr_t = base / (1.0 + (count - 1) * lr_decay)
+        new_updates = jax.tree_util.tree_map(
+            lambda g, a: -lr_t * g / (jnp.sqrt(a) + eps), updates, acc)
+        return new_updates, {'acc': acc, 'count': count}
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def adadelta(lr: Schedule, rho: float = 0.9, eps: float = 1e-6,
+             weight_decay: float = 0.0, **_) -> optax.GradientTransformation:
+    """torch.optim.Adadelta semantics (square-avg / acc-delta pair)."""
+    import jax.numpy as jnp
+
+    def init_fn(params):
+        zeros = lambda: jax.tree_util.tree_map(jnp.zeros_like, params)
+        return {'square_avg': zeros(), 'acc_delta': zeros(),
+                'count': jnp.zeros((), jnp.int32)}
+
+    def update_fn(updates, state, params=None):
+        if weight_decay:
+            updates = jax.tree_util.tree_map(lambda g, p: g + weight_decay * p,
+                                             updates, params)
+        square_avg = jax.tree_util.tree_map(
+            lambda s, g: rho * s + (1 - rho) * g * g,
+            state['square_avg'], updates)
+        delta = jax.tree_util.tree_map(
+            lambda a, s, g: jnp.sqrt(a + eps) / jnp.sqrt(s + eps) * g,
+            state['acc_delta'], square_avg, updates)
+        acc_delta = jax.tree_util.tree_map(
+            lambda a, d: rho * a + (1 - rho) * d * d,
+            state['acc_delta'], delta)
+        count = state['count'] + 1
+        base = lr(count) if callable(lr) else lr
+        new_updates = jax.tree_util.tree_map(lambda d: -base * d, delta)
+        return new_updates, {'square_avg': square_avg,
+                             'acc_delta': acc_delta, 'count': count}
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def adamax(lr: Schedule, betas=(0.9, 0.999), eps: float = 1e-8,
+           weight_decay: float = 0.0, **_) -> optax.GradientTransformation:
+    """torch.optim.Adamax semantics — note torch folds eps INSIDE the max:
+    ``u = max(b2 * u, |g| + eps)``."""
+    import jax.numpy as jnp
+    b1, b2 = betas
+
+    def init_fn(params):
+        zeros = lambda: jax.tree_util.tree_map(jnp.zeros_like, params)
+        return {'m': zeros(), 'u': zeros(), 'count': jnp.zeros((), jnp.int32)}
+
+    def update_fn(updates, state, params=None):
+        if weight_decay:
+            updates = jax.tree_util.tree_map(lambda g, p: g + weight_decay * p,
+                                             updates, params)
+        m = jax.tree_util.tree_map(lambda m_, g: b1 * m_ + (1 - b1) * g,
+                                   state['m'], updates)
+        u = jax.tree_util.tree_map(
+            lambda u_, g: jnp.maximum(b2 * u_, jnp.abs(g) + eps),
+            state['u'], updates)
+        count = state['count'] + 1
+        base = lr(count) if callable(lr) else lr
+        scale = base / (1.0 - b1 ** count)
+        new_updates = jax.tree_util.tree_map(lambda m_, u_: -scale * m_ / u_,
+                                             m, u)
+        return new_updates, {'m': m, 'u': u, 'count': count}
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 OPTIMIZERS = {
     'SGD': sgd,
     'SGDW': sgdw,
     'Adam': adam,
     'AdamW': adamw,
     'RMSprop': rmsprop,
+    'Adagrad': adagrad,
+    'Adadelta': adadelta,
+    'Adamax': adamax,
 }
 
 

@@ -119,3 +119,31 @@ def test_materialized_equals_masked_vgg():
 
 def test_materialized_equals_masked_resnet():
     _roundtrip(resnet_like(), ['features'], num=10)
+
+
+def fpn_like():
+    return builder.build(
+        base={'name': 'torchvision_resnet18'},
+        anchor_generator={'type': 'retina_net', 'min_level': 3,
+                          'max_level': 5, 'aspect_ratios': [1.0, 2.0],
+                          'scale': 4.0},
+        num_classes=5, use_depthwise=False,
+        features={'name': 'FeaturePyramid', 'out_layers': (5, 6, 7),
+                  'pyramid_layers': 3, 'pyramid_channels': 32},
+        extras=None, input_size=(64, 64))
+
+
+def test_fpn_laterals_form_one_space():
+    bundle = fpn_like()
+    variables = bundle.init(jax.random.PRNGKey(0))
+    spaces = build_channel_spaces(bundle.module, variables, bundle.input_size)
+    lat = [s for s in spaces
+           if any(m.path[2].startswith('lateral')
+                  for m in s.by_role('producer'))]
+    assert len(lat) == 1 and not lat[0].frozen
+    names = {m.path[2] for m in lat[0].by_role('producer')}
+    assert names == {'lateral0', 'lateral1', 'lateral2'}
+
+
+def test_materialized_equals_masked_fpn():
+    _roundtrip(fpn_like(), ['features'], num=14)

@@ -144,3 +144,46 @@ def test_plateau_scale_with_accumulation(rng):
     # mean grad over the window = 2.0; delta = -lr * mean_grad * scale
     np.testing.assert_allclose(np.asarray(params['w']),
                                1.0 - 0.1 * 2.0 * 0.5, rtol=1e-6)
+
+
+def _torch_parity(name, torch_ctor, torch_kwargs, ours_kwargs, steps=5):
+    """Run both optimizers on identical params/grads; compare trajectories."""
+    import jax
+    import optax
+    rng = np.random.RandomState(0)
+    p0 = rng.randn(7).astype(np.float32)
+    grads = [rng.randn(7).astype(np.float32) for _ in range(steps)]
+
+    tp = torch.nn.Parameter(torch.tensor(p0.copy()))
+    topt = torch_ctor([tp], **torch_kwargs)
+    for g in grads:
+        topt.zero_grad()
+        tp.grad = torch.tensor(g.copy())
+        topt.step()
+
+    params = {'w': jnp.asarray(p0.copy())}
+    tx = optimizers.create_optimizer({'name': name, **ours_kwargs})
+    state = tx.init(params)
+    for g in grads:
+        updates, state = tx.update({'w': jnp.asarray(g)}, state, params)
+        params = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(np.asarray(params['w']),
+                               tp.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_adagrad_matches_torch():
+    _torch_parity('Adagrad', torch.optim.Adagrad,
+                  dict(lr=0.1, lr_decay=0.01, weight_decay=0.05),
+                  dict(lr=0.1, lr_decay=0.01, weight_decay=0.05))
+
+
+def test_adadelta_matches_torch():
+    _torch_parity('Adadelta', torch.optim.Adadelta,
+                  dict(lr=0.5, rho=0.9, weight_decay=0.03),
+                  dict(lr=0.5, rho=0.9, weight_decay=0.03))
+
+
+def test_adamax_matches_torch():
+    _torch_parity('Adamax', torch.optim.Adamax,
+                  dict(lr=0.01, betas=(0.9, 0.999), weight_decay=0.02),
+                  dict(lr=0.01, betas=(0.9, 0.999), weight_decay=0.02))
