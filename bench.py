@@ -137,13 +137,27 @@ def bench_end_to_end(bf16):
     return steps_per_epoch * BATCH * E2E_EPOCHS / elapsed
 
 
+def _retry(fn, *args, attempts=3, **kwargs):
+    """The remote-TPU relay intermittently fails device transfers with
+    'TPU backend error (InvalidArgument)' (see docs/PERF.md); retry a
+    transient failure instead of voiding the whole benchmark run."""
+    for i in range(attempts):
+        try:
+            return fn(*args, **kwargs)
+        except jax.errors.JaxRuntimeError as exc:
+            if i == attempts - 1:
+                raise
+            print(f'transient backend error ({exc}); retrying', flush=True)
+            time.sleep(5)
+
+
 def main():
     on_tpu = jax.devices()[0].platform != 'cpu'
     # bf16 compute on TPU (replaces the reference's apex AMP, env.py:87-95)
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
-    device_step = bench_device_step(dtype)
-    end_to_end = bench_end_to_end(bf16=on_tpu)
+    device_step = _retry(bench_device_step, dtype)
+    end_to_end = _retry(bench_end_to_end, bf16=on_tpu)
 
     print(json.dumps({
         'metric': 'train_images_per_sec_e2e_ssd300_mb2',

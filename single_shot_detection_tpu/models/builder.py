@@ -77,6 +77,15 @@ def create_base(name: str, axis_name=None, dtype=jnp.float32, **kwargs):
     the torch-weight importer (utils/torch_import.py), not here — flax
     modules are stateless.
     """
+    if name.startswith('torchhub://'):
+        # reference base_builder.py:60-63 downloaded arbitrary torch-hub
+        # models at runtime; a TPU/flax build has no torch-module runtime
+        # (and this environment has no egress) — point at the supported path
+        raise ValueError(
+            f'{name!r}: torch-hub backbones are not supported. Use a '
+            f'registry backbone ({", ".join(backbones.available()[:6])}, ...) '
+            f'and load torch weights from a file via '
+            f"base={{'weight': 'state_dict.pt'}} (utils/torch_import.py).")
     factory = backbones.get(name)
     return factory(axis_name=axis_name, dtype=dtype, **kwargs)
 

@@ -109,6 +109,18 @@ class L1Loss(_Loss):
         return _masked_reduce(per_row, mask, self.reduction)
 
 
+class MSELoss(_Loss):
+    """Squared error summed over the last axis per row (parity: torch
+    ``F.mse_loss`` — the reference re-exports all torch losses,
+    losses.py:4)."""
+
+    def __call__(self, pred, target, mask=None):
+        per_row = jnp.sum((pred - target) ** 2, axis=-1)
+        if mask is None:
+            mask = jnp.ones(per_row.shape, dtype=bool)
+        return _masked_reduce(per_row, mask, self.reduction)
+
+
 class SigmoidFocalLoss(_Loss):
     """Multi-hot sigmoid focal loss (parity: losses.py:34-54)."""
 
@@ -211,6 +223,7 @@ LOSSES = {
     'CrossEntropyLoss': CrossEntropyLoss,
     'SmoothL1Loss': SmoothL1Loss,
     'L1Loss': L1Loss,
+    'MSELoss': MSELoss,
     'SigmoidFocalLoss': SigmoidFocalLoss,
     'SoftmaxFocalLoss': SoftmaxFocalLoss,
     'CrossEntropyWithSoftTargetsLoss': CrossEntropyWithSoftTargetsLoss,

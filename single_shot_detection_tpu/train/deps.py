@@ -412,7 +412,12 @@ def analyze_jaxpr(closed_jaxpr, param_paths: Sequence[Optional[Path]]
                     off += size
                 env[eqn.outvars[0]] = ChanAnn(out_feat, lhs_ann.segments)
             else:
-                env[eqn.outvars[0]] = None
+                # input channels untracked (e.g. after a channel split):
+                # the kernel still owns a space, but a frozen one
+                sid = spaces.fresh(cout, frozen=True)
+                spaces.add_member(sid, Member(path=kernel_path, axis=rhs_out,
+                                              offset=0, role='depthwise'))
+                env[eqn.outvars[0]] = ChanAnn(out_feat, ((sid, cout),))
         else:
             # other grouped convs (ResNeXt etc.): group g reads channel block
             # g of the input and writes block g of the output — pruning would

@@ -157,12 +157,15 @@ class Experiment:
         if 'train' in self.loaders:
             steps_per_epoch = (self.num_batches_per_epoch
                                or len(self.loaders['train']))
-            cfg.update({
-                'epochs': self.epochs,
-                'total_train_steps':
-                    steps_per_epoch * self.epochs // self.accumulation_steps,
-            })
-            train_cfg = dict(cfg.train)  # re-read after interpolation
+        # inject even without a train loader (eval/export-only runs must
+        # still interpolate '{total_train_steps}' in scheduler configs —
+        # parity: the reference computes it up front, main.py:70-73)
+        cfg.update({
+            'epochs': self.epochs,
+            'total_train_steps':
+                steps_per_epoch * self.epochs // self.accumulation_steps,
+        })
+        train_cfg = dict(cfg.train)  # re-read after interpolation
 
         opt_cfg = dict(train_cfg.get('optimizer', {'name': 'SGD', 'lr': 1e-3}))
         base_lr = opt_cfg.get('lr', 1e-3)
@@ -537,10 +540,21 @@ class Experiment:
     # ---------------------------------------------------------------- helpers
     def _shard(self, batch: dict, axis: int = 0):
         """Place a host-local batch as data-sharded global arrays on the
-        mesh (single-host: device_put; multi-host: global-array assembly)."""
+        mesh (single-host: device_put; multi-host: global-array assembly).
+
+        Device transfer is retried once: remote-attached TPUs occasionally
+        fail a transfer with a transient backend error (docs/PERF.md), and
+        device_put of a host batch is idempotent."""
         from single_shot_detection_tpu import parallel
-        return parallel.make_global_batch(self.mesh, batch,
-                                          self.process_count, axis)
+        try:
+            return parallel.make_global_batch(self.mesh, batch,
+                                              self.process_count, axis)
+        except jax.errors.JaxRuntimeError as exc:
+            logging.warning(f'WW transient device transfer failure ({exc}); '
+                            f'retrying once')
+            time.sleep(2)
+            return parallel.make_global_batch(self.mesh, batch,
+                                              self.process_count, axis)
 
     def _train_batches(self, loader, num_batches):
         """Yield ('single', batch) or — when ``fused_steps`` > 1 —

@@ -147,3 +147,25 @@ def test_materialize_slices_concat_consumer():
         {'params': jax.tree_util.tree_map(jnp.asarray, new_vars['params'])}, x)
     np.testing.assert_allclose(np.asarray(masked_out), np.asarray(narrow_out),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_analyzer_safe_on_depthwise_fpn_zoo():
+    """Unsupported corners (channel splits, unknown mixes) must freeze, not
+    crash or mis-cover: every conv kernel is a writer of SOME space."""
+    from single_shot_detection_tpu.models import builder
+    from single_shot_detection_tpu.train.pruning import conv_kernel_paths
+    b = builder.build(
+        base={'name': 'mobilenet_v2', 'depth_multiplier': 0.35},
+        anchor_generator={'type': 'ssd', 'num_scales': 3, 'min_scale': 0.2,
+                          'max_scale': 0.9, 'aspect_ratios': [[1.0, 2.0]] * 3},
+        num_classes=5, use_depthwise=True,
+        features={'name': 'DepthwiseFeaturePyramid', 'out_layers': (13, 18),
+                  'pyramid_layers': 3, 'pyramid_channels': 32},
+        extras=None, input_size=(64, 64))
+    variables = b.init(jax.random.PRNGKey(0))
+    spaces = deps.analyze_module(b.module, variables, (1, 64, 64, 3))
+    kernels = {('params',) + k
+               for k in conv_kernel_paths(variables['params'])}
+    writers = {m.path for s in spaces for m in s.members
+               if m.role in ('producer', 'depthwise')}
+    assert not (kernels - writers), kernels - writers

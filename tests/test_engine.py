@@ -385,3 +385,18 @@ def test_fused_steps_train():
     rows = exp.train()
     assert np.isfinite(rows[-1]['train_loss'])
     assert int(exp.state.step) == 4  # all batches trained
+
+
+def test_eval_only_with_interpolated_scheduler():
+    """Eval/export-only runs must still interpolate '{total_train_steps}'
+    in scheduler configs (the reference computes it up front,
+    main.py:70-73) — regression: this used to crash building the engine."""
+    cfg = load_config(SMOKE)
+    cfg.config.train = dict(cfg.config.train)
+    cfg.config.train['scheduler'] = {
+        'name': 'CosineAnnealingWithWarmupLR', 'run_each_step': True,
+        'T_max': '{total_train_steps}', 'warmup_steps': 2,
+        'warmup_lr': 1e-4}
+    exp = Experiment(cfg, phases=['eval'], debug=True)
+    metrics = exp.evaluate()
+    assert 'mAP' in metrics

@@ -194,3 +194,23 @@ def test_l1_loss_is_not_huber():
     pred = jnp.array([[0.5, -0.25]])
     tgt = jnp.zeros((1, 2))
     np.testing.assert_allclose(float(l1(pred, tgt)), 0.75, rtol=1e-6)
+
+
+def test_mse_loss_matches_torch():
+    import torch
+    import torch.nn.functional as F
+    from single_shot_detection_tpu.ops.losses import MSELoss
+    rng = np.random.RandomState(0)
+    pred = rng.randn(6, 4).astype(np.float32)
+    target = rng.randn(6, 4).astype(np.float32)
+    ours = MSELoss(reduction='sum')(jnp.asarray(pred), jnp.asarray(target))
+    ref = F.mse_loss(torch.tensor(pred), torch.tensor(target),
+                     reduction='sum')
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+
+def test_torchhub_backbone_rejected():
+    import pytest
+    from single_shot_detection_tpu.models.builder import create_base
+    with pytest.raises(ValueError, match='torch-hub'):
+        create_base('torchhub://some/repo:model')
