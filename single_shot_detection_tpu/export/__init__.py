@@ -20,6 +20,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _deploy_model(experiment):
+    """(module, variables) to export: the physically-narrow rebuild when
+    channels were pruned (train/materialize.py — the deploy-time analog of
+    the reference's in-place surgery), else the trained model as-is."""
+    variables = {'params': experiment.state.params,
+                 'batch_stats': experiment.state.batch_stats}
+    if getattr(experiment, 'pruner', None) is not None and experiment.pruner.dead:
+        bundle, variables = experiment.materialize_pruned()
+        logging.info('>> exporting the materialized (narrow) pruned model')
+        return bundle.module, variables
+    return experiment.bundle.module, variables
+
+
 def make_inference_fn(experiment, with_postprocess: bool = False):
     """Build the standalone inference function.
 
@@ -27,7 +40,11 @@ def make_inference_fn(experiment, with_postprocess: bool = False):
     scores + decoded corner boxes.  ``with_postprocess=True`` additionally
     bakes NMS in (engine-side NMS, the mo_add_output analog).
     """
-    module = experiment.bundle.module
+    module, _ = _deploy_model(experiment)
+    return _make_inference_fn_for(experiment, module, with_postprocess)
+
+
+def _make_inference_fn_for(experiment, module, with_postprocess):
     anchors = jnp.asarray(experiment.anchors)
     coder = experiment.box_coder
     postprocessor = experiment.postprocessor
@@ -54,9 +71,8 @@ def export_model(experiment, path: str, with_postprocess: bool = False,
     artifact is ``<path>.stablehlo`` loadable via ``jax.export.deserialize``.
     """
     os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
-    infer = make_inference_fn(experiment, with_postprocess)
-    variables = {'params': experiment.state.params,
-                 'batch_stats': experiment.state.batch_stats}
+    module, variables = _deploy_model(experiment)
+    infer = _make_inference_fn_for(experiment, module, with_postprocess)
     w, h = experiment.input_size
     images = jnp.zeros((batch_size, h, w, 3), jnp.float32)
 

@@ -400,3 +400,29 @@ def test_eval_only_with_interpolated_scheduler():
     exp = Experiment(cfg, phases=['eval'], debug=True)
     metrics = exp.evaluate()
     assert 'mAP' in metrics
+
+
+def test_export_uses_materialized_pruned_model(tmp_path):
+    """After pruning, the export phase serializes the physically-narrow
+    model; its outputs equal the masked training model's."""
+    import jax.numpy as jnp
+    from single_shot_detection_tpu.export import export_model, load_exported
+    exp = Experiment(_pruning_smoke_cfg({'name': 'MinL1Norm'}),
+                     phases=['train'], debug=True)
+    exp.train()
+    assert exp.pruner.dead
+
+    path = export_model(exp, str(tmp_path / 'model'))
+    infer = load_exported(path)
+
+    narrow_bundle, narrow_vars = exp.materialize_pruned()
+    narrow_vars = jax.tree_util.tree_map(jnp.asarray, narrow_vars)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 128, 128, 3))
+    probs, boxes = infer(narrow_vars, x)
+
+    masked_scores, masked_locs = exp.bundle.module.apply(
+        {'params': exp.state.params, 'batch_stats': exp.state.batch_stats},
+        x, train=False)
+    expected = jax.nn.softmax(masked_scores.astype(jnp.float32), -1)
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(expected),
+                               rtol=1e-3, atol=1e-4)
