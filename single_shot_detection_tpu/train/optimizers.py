@@ -189,6 +189,90 @@ def adamax(lr: Schedule, betas=(0.9, 0.999), eps: float = 1e-8,
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def nadam(lr: Schedule, betas=(0.9, 0.999), eps: float = 1e-8,
+          weight_decay: float = 0.0, momentum_decay: float = 4e-3,
+          **_) -> optax.GradientTransformation:
+    """torch.optim.NAdam semantics (mu-product schedule from the paper)."""
+    import jax.numpy as jnp
+    b1, b2 = betas
+
+    def init_fn(params):
+        zeros = lambda: jax.tree_util.tree_map(jnp.zeros_like, params)
+        return {'m': zeros(), 'v': zeros(),
+                'mu_product': jnp.ones((), jnp.float32),
+                'count': jnp.zeros((), jnp.int32)}
+
+    def update_fn(updates, state, params=None):
+        if weight_decay:
+            updates = jax.tree_util.tree_map(lambda g, p: g + weight_decay * p,
+                                             updates, params)
+        count = state['count'] + 1
+        t = count.astype(jnp.float32)
+        mu_t = b1 * (1.0 - 0.5 * 0.96 ** (t * momentum_decay))
+        mu_next = b1 * (1.0 - 0.5 * 0.96 ** ((t + 1) * momentum_decay))
+        mu_product = state['mu_product'] * mu_t
+        mu_product_next = mu_product * mu_next
+        m = jax.tree_util.tree_map(lambda m_, g: b1 * m_ + (1 - b1) * g,
+                                   state['m'], updates)
+        v = jax.tree_util.tree_map(lambda v_, g: b2 * v_ + (1 - b2) * g * g,
+                                   state['v'], updates)
+        base = lr(count) if callable(lr) else lr
+        bc2 = 1.0 - b2 ** t
+
+        def upd(m_, v_, g):
+            denom = jnp.sqrt(v_ / bc2) + eps
+            return -base * ((1.0 - mu_t) / (1.0 - mu_product) * g
+                            + mu_next / (1.0 - mu_product_next) * m_) / denom
+
+        new_updates = jax.tree_util.tree_map(upd, m, v, updates)
+        return new_updates, {'m': m, 'v': v, 'mu_product': mu_product,
+                             'count': count}
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def radam(lr: Schedule, betas=(0.9, 0.999), eps: float = 1e-8,
+          weight_decay: float = 0.0, **_) -> optax.GradientTransformation:
+    """torch.optim.RAdam semantics (rectified variance warmup)."""
+    import jax.numpy as jnp
+    b1, b2 = betas
+    rho_inf = 2.0 / (1.0 - b2) - 1.0
+
+    def init_fn(params):
+        zeros = lambda: jax.tree_util.tree_map(jnp.zeros_like, params)
+        return {'m': zeros(), 'v': zeros(), 'count': jnp.zeros((), jnp.int32)}
+
+    def update_fn(updates, state, params=None):
+        if weight_decay:
+            updates = jax.tree_util.tree_map(lambda g, p: g + weight_decay * p,
+                                             updates, params)
+        count = state['count'] + 1
+        t = count.astype(jnp.float32)
+        m = jax.tree_util.tree_map(lambda m_, g: b1 * m_ + (1 - b1) * g,
+                                   state['m'], updates)
+        v = jax.tree_util.tree_map(lambda v_, g: b2 * v_ + (1 - b2) * g * g,
+                                   state['v'], updates)
+        base = lr(count) if callable(lr) else lr
+        bc1 = 1.0 - b1 ** t
+        bc2 = 1.0 - b2 ** t
+        rho_t = rho_inf - 2.0 * t * (b2 ** t) / bc2
+        rect = jnp.sqrt(((rho_t - 4.0) * (rho_t - 2.0) * rho_inf)
+                        / jnp.maximum((rho_inf - 4.0) * (rho_inf - 2.0)
+                                      * rho_t, 1e-12))
+        use_rect = rho_t > 5.0
+
+        def upd(m_, v_):
+            m_hat = m_ / bc1
+            adaptive = -base * rect * m_hat / (jnp.sqrt(v_ / bc2) + eps)
+            plain = -base * m_hat
+            return jnp.where(use_rect, adaptive, plain)
+
+        new_updates = jax.tree_util.tree_map(upd, m, v)
+        return new_updates, {'m': m, 'v': v, 'count': count}
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 OPTIMIZERS = {
     'SGD': sgd,
     'SGDW': sgdw,
@@ -198,6 +282,8 @@ OPTIMIZERS = {
     'Adagrad': adagrad,
     'Adadelta': adadelta,
     'Adamax': adamax,
+    'NAdam': nadam,
+    'RAdam': radam,
 }
 
 

@@ -426,3 +426,17 @@ def test_export_uses_materialized_pruned_model(tmp_path):
     expected = jax.nn.softmax(masked_scores.astype(jnp.float32), -1)
     np.testing.assert_allclose(np.asarray(probs), np.asarray(expected),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_restores_committed_learning_checkpoint():
+    """Checkpoint-format stability + learning evidence, pinned in CI: the
+    committed 150-epoch synthetic run (experiments/, f32, mAP 0.671) must
+    restore through the current engine and still score well above chance."""
+    exp_dir = os.path.join(os.path.dirname(__file__), '..', 'experiments',
+                           '2026-08-16-225820')
+    if not os.path.isdir(exp_dir):
+        pytest.skip('learning-evidence experiment not present')
+    cfg = load_config(os.path.join(exp_dir, 'config.py'))
+    exp = Experiment(cfg, phases=['eval'], debug=True, resume_from=exp_dir)
+    metrics = exp.evaluate()
+    assert metrics['mAP'] > 0.5, metrics

@@ -187,3 +187,19 @@ def test_adamax_matches_torch():
     _torch_parity('Adamax', torch.optim.Adamax,
                   dict(lr=0.01, betas=(0.9, 0.999), weight_decay=0.02),
                   dict(lr=0.01, betas=(0.9, 0.999), weight_decay=0.02))
+
+
+def test_nadam_matches_torch():
+    _torch_parity('NAdam', torch.optim.NAdam,
+                  dict(lr=0.01, betas=(0.9, 0.999), weight_decay=0.02,
+                       momentum_decay=4e-3),
+                  dict(lr=0.01, betas=(0.9, 0.999), weight_decay=0.02,
+                       momentum_decay=4e-3), steps=7)
+
+
+def test_radam_matches_torch():
+    # include steps on BOTH sides of the rho_t > 5 rectification switch
+    _torch_parity('RAdam', torch.optim.RAdam,
+                  dict(lr=0.01, betas=(0.9, 0.999), weight_decay=0.02),
+                  dict(lr=0.01, betas=(0.9, 0.999), weight_decay=0.02),
+                  steps=8)
