@@ -359,6 +359,23 @@ class Experiment:
 
     # ------------------------------------------------------------------ train
     def train(self):
+        """Run the training epochs.
+
+        Interrupt-safe: a KeyboardInterrupt/SIGTERM mid-epoch saves an
+        emergency checkpoint before re-raising, so hours of a long run are
+        resumable (the reference simply died, helpers.py:142-143 — recovery
+        was only as fresh as the last scheduled save)."""
+        try:
+            return self._train_epochs()
+        except KeyboardInterrupt:
+            if self.checkpoint_dir and not self.debug and self.process_index == 0:
+                path = ckpt.save(self.checkpoint_dir, self.state,
+                                 getattr(self, '_current_epoch', 0))
+                logging.warning(f'WW interrupted — emergency checkpoint '
+                                f'saved to {path}')
+            raise
+
+    def _train_epochs(self):
         loader = self.loaders['train']
         num_batches = self.num_batches_per_epoch or len(loader)
         epoch_rows = []
@@ -366,6 +383,7 @@ class Experiment:
                     if self.checkpoint_dir and not self.debug else None)
 
         for epoch in range(self.start_epoch, self.epochs):
+            self._current_epoch = epoch
             logging.info(f'Epoch: {epoch}/{self.epochs - 1}')
             if self.pruner is not None:  # parity: main.py:107-112 epoch_start
                 self.state = self.pruner.prune(self.state)

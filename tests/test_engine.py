@@ -440,3 +440,27 @@ def test_restores_committed_learning_checkpoint():
     exp = Experiment(cfg, phases=['eval'], debug=True, resume_from=exp_dir)
     metrics = exp.evaluate()
     assert metrics['mAP'] > 0.5, metrics
+
+
+def test_interrupt_saves_emergency_checkpoint(tmp_path, monkeypatch):
+    """Ctrl-C mid-training leaves a resumable checkpoint."""
+    cfg = load_config(SMOKE)
+    cfg.config.train = dict(cfg.config.train)
+    cfg.config.train['epochs'] = 50
+    cfg.config.train['save_every'] = 999
+    exp = Experiment(cfg, phases=['train'], debug=False,
+                     checkpoint_dir=str(tmp_path))
+    calls = {'n': 0}
+    orig = exp.train_step
+
+    def bomb(*args, **kwargs):
+        calls['n'] += 1
+        if calls['n'] >= 3:
+            raise KeyboardInterrupt
+        return orig(*args, **kwargs)
+
+    exp.train_step = bomb
+    with pytest.raises(KeyboardInterrupt):
+        exp.train()
+    from single_shot_detection_tpu.train import checkpoint as ckpt
+    assert ckpt.find_latest(exp.checkpoint_dir) is not None

@@ -140,3 +140,33 @@ def test_data_parallel_eval_step(rng):
     np.testing.assert_allclose(float(metrics['loss']), float(m1['loss']),
                                rtol=1e-4)
     np.testing.assert_allclose(np.asarray(dets), np.asarray(d1), atol=1e-3)
+
+
+def test_spatial_partitioning_forward_agrees(rng):
+    """Very-large-input extension (SURVEY §5): shard the image H axis over
+    the mesh's 'model' axis — GSPMD inserts the conv halo exchanges — and
+    the forward pass matches the unsharded one."""
+    bundle = builder.build(
+        base={'name': 'mobilenet_v2', 'depth_multiplier': 0.35},
+        anchor_generator={'type': 'ssd', 'num_scales': 1, 'min_scale': 0.3,
+                          'max_scale': 0.9, 'aspect_ratios': [[1.0]]},
+        num_classes=NUM_CLASSES,
+        features={'name': 'Features', 'out_layers': (18,)},
+        input_size=(IMG, IMG))
+    variables = bundle.init(jax.random.PRNGKey(0), batch_size=2)
+    x = jnp.asarray(rng.rand(2, IMG, IMG, 3).astype(np.float32))
+
+    ref_scores, ref_locs = jax.jit(
+        lambda v, xx: bundle.module.apply(v, xx, train=False))(variables, x)
+
+    mesh = create_mesh(n_data=2, n_model=4)
+    x_sharding = NamedSharding(mesh, P('data', 'model', None, None))
+    rep = replicated(mesh)
+    fn = jax.jit(lambda v, xx: bundle.module.apply(v, xx, train=False),
+                 in_shardings=(rep, x_sharding))
+    scores, locs = fn(variables, jax.device_put(x, x_sharding))
+
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(ref_scores),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(locs), np.asarray(ref_locs),
+                               rtol=2e-4, atol=2e-4)
