@@ -40,6 +40,8 @@ VOC_LABELS = ['background'] + [f'class_{i}' for i in range(1, 21)]
 
 def bench_device_step(dtype):
     """Jitted train step on a pre-staged device batch (round-1 metric)."""
+    print('bench: device-step phase (first compile through the relay can '
+          'take minutes)...', flush=True)
     import __graft_entry__ as ge
     from single_shot_detection_tpu.train import (create_train_state,
                                                  make_train_step)
@@ -111,6 +113,7 @@ def stage_jpeg_dataset(root):
 
 def bench_end_to_end(bf16):
     """A user's epoch: main.py's Experiment on a staged JPEG dataset."""
+    print('bench: end-to-end phase...', flush=True)
     from single_shot_detection_tpu.train.engine import Experiment
     from single_shot_detection_tpu.utils.config import load_config
 
