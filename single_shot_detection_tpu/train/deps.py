@@ -208,7 +208,7 @@ _UNARY = {
     'round', 'is_finite', 'stop_gradient', 'copy', 'real', 'imag',
     'reduce_precision', 'cbrt', 'exp2', 'log1p', 'expm1', 'square', 'tan',
     'sin', 'cos', 'asin', 'acos', 'atan', 'sinh', 'cosh', 'asinh', 'acosh',
-    'atanh', 'logistic', 'clamp',
+    'atanh',
 }
 _BINARY = {
     'add', 'sub', 'mul', 'div', 'max', 'min', 'pow', 'rem', 'atan2',
@@ -287,6 +287,12 @@ def analyze_jaxpr(closed_jaxpr, param_paths: Sequence[Optional[Path]]
         elif name in _BINARY and len(ins) == 2:
             setout(interp._combine(read(ins[0]), read(ins[1]),
                                    shape(outs[0])))
+        elif name == 'clamp':
+            # clamp(min, x, max): the VALUE operand is ins[1]
+            ann = read(ins[1])
+            for other in (ins[0], ins[2]):
+                ann = interp._combine(ann, read(other), shape(outs[0]))
+            setout(ann)
         elif name == 'select_n':
             ann = read(ins[1])
             for other in ins[2:]:
@@ -563,7 +569,7 @@ def analyze_jaxpr(closed_jaxpr, param_paths: Sequence[Optional[Path]]
         if isinstance(idx_ann, (ChanAnn, VecAnn)):
             interp._freeze_ann(idx_ann)
         if not isinstance(ann, (ChanAnn, VecAnn)):
-            env[eqn.outvars[0]] = None if ann != _UNIFORM else None
+            env[eqn.outvars[0]] = None
             return
         dn = eqn.params['dimension_numbers']
         slice_sizes = eqn.params['slice_sizes']
@@ -627,14 +633,12 @@ def analyze_jaxpr(closed_jaxpr, param_paths: Sequence[Optional[Path]]
         members = tuple(spaces.members[sid])
         if not members:
             continue
+        # vector params that leaked into unknown contexts make the whole
+        # space unsafe to slice
         frozen = spaces.frozen[sid] or any(
             m.path in interp.tainted for m in members)
-        # taint check: vector params that leaked into unknown contexts make
-        # the whole space unsafe to slice
-        vec_tainted = any(m.role == 'vector' and m.path in interp.tainted
-                          for m in members)
         out.append(Space(width=spaces.width[sid], members=members,
-                         frozen=frozen or vec_tainted))
+                         frozen=frozen))
     return out
 
 

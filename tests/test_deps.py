@@ -169,3 +169,22 @@ def test_analyzer_safe_on_depthwise_fpn_zoo():
     writers = {m.path for s in spaces for m in s.members
                if m.role in ('producer', 'depthwise')}
     assert not (kernels - writers), kernels - writers
+
+
+def test_clamp_preserves_channel_annotation():
+    """lax.clamp's VALUE operand is ins[1] — mishandling it as unary read
+    the min bound and dropped the annotation (regression)."""
+    class ClampNet(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            h = nn.Conv(6, (1, 1), name='conv', use_bias=False)(x)
+            h = jnp.clip(h, 0.0, 6.0)  # relu6 via clamp
+            return nn.Conv(2, (1, 1), name='head', use_bias=False)(h)
+
+    m = ClampNet()
+    variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 4, 3)))
+    spaces = deps.analyze_module(m, variables, (1, 4, 4, 3))
+    (s,) = [s for s in spaces
+            if any(m_.path[-2] == 'conv' for m_ in s.by_role('producer'))]
+    # the head must be registered as consumer through the clamp
+    assert any(m_.path[-2] == 'head' for m_ in s.by_role('consumer'))
