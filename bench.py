@@ -2,14 +2,17 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Two numbers are measured (round-1 verdict asked for both):
-  * ``end_to_end_img_s`` — the PRIMARY value: a user's actual epoch through
+Two numbers are measured (round-2 verdict: keep BOTH, headline the chip):
+  * ``device_step_img_s`` — the PRIMARY ``value``: the jitted train step on a
+    pre-staged device batch, i.e. images/sec/chip per BASELINE.json's stated
+    metric.
+  * ``end_to_end_img_s`` — a user's actual epoch through
     ``Experiment.train()`` — JPEG decode (native C++ batch decoder), host
     staging, fused on-device augmentation, jitted train step, metric
     accounting.  Measured on a staged synthetic VOC-scale JPEG dataset
-    (500x375 JPEGs on disk, Csv annotations).
-  * ``device_step_img_s`` — the jitted train step alone on a pre-staged
-    device batch (the round-1 headline, kept for cross-round comparability).
+    (500x375 JPEGs on disk, Csv annotations).  On THIS harness it is bound by
+    the ~70 MB/s remote-TPU relay link (docs/PERF.md), so it is reported as
+    context, not as the headline.
 
 The reference publishes no numbers (BASELINE.md); ``REFERENCE_GPU_IMG_S`` is
 a documented ESTIMATE for the reference PyTorch pipeline training
@@ -171,18 +174,27 @@ def main():
     device_step = _retry(bench_device_step, dtype)
     e2e = _retry(bench_end_to_end, bf16=on_tpu)
 
+    # BASELINE.json's stated metric is images/sec/chip: the headline `value`
+    # is the device train step (what the chip sustains).  The end-to-end
+    # fields report a user's actual Experiment.train() epoch on THIS harness,
+    # which is relay-bandwidth bound (~70 MB/s host->device link through the
+    # remote-TPU tunnel; see docs/PERF.md) — a harness property, not a
+    # framework one.  The newline guarantees the JSON is alone on its line
+    # (the engine's \r progress tail otherwise shares it).
+    print(flush=True)
     print(json.dumps({
-        'metric': 'train_images_per_sec_e2e_ssd300_mb2',
-        'value': round(e2e['median'], 2),
-        'unit': 'images/sec',
-        'vs_baseline': round(e2e['median'] / REFERENCE_GPU_IMG_S, 3),
+        'metric': 'train_images_per_sec_chip_ssd300_mb2',
+        'value': round(device_step, 2),
+        'unit': 'images/sec/chip',
+        'vs_baseline': round(device_step / REFERENCE_GPU_IMG_S, 3),
         'baseline_basis': 'estimate (reference publishes no numbers)',
         'device_step_img_s': round(device_step, 2),
         'end_to_end_img_s': round(e2e['median'], 2),
         'end_to_end_img_s_mean': round(e2e['mean'], 2),
         'end_to_end_img_s_best': round(e2e['best'], 2),
+        'end_to_end_note': 'relay-bandwidth bound on this harness (docs/PERF.md)',
         'host_cpu_cores': os.cpu_count(),
-    }))
+    }), flush=True)
 
 
 if __name__ == '__main__':

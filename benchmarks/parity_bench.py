@@ -1,0 +1,201 @@
+"""TPU device-step throughput for ALL FIVE BASELINE.md parity configs.
+
+Each config is assembled from its real ``samples/*.py`` file at the
+reference batch size (BASELINE.md table):
+
+  ssd_mb2_voc            batch 32, 300x300
+  ssd_300_vgg16_voc      batch 16, 300x300
+  ssd_512_vgg16_coco     batch 12, 512x512
+  retina_rn50_500_coco   batch 12, 500x500
+  m2det_512_vgg16_coco   batch  8, 512x512
+
+For each: the jitted train step on a pre-staged device batch (images/sec/
+chip) and the fused inference step (forward + on-chip postprocess).  Run:
+
+  python benchmarks/parity_bench.py [--dtype bf16|f32] [--steps N] [--configs a,b]
+
+Prints one JSON line per config and a summary table.
+"""
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+PARITY = [
+    # (config file, reference batch size)
+    ('ssd_mb2_voc.py', 32),
+    ('ssd_300_vgg16_voc.py', 16),
+    ('ssd_512_vgg16_coco.py', 12),
+    ('retina_rn50_500_coco.py', 12),
+    ('m2det_512_vgg16_coco.py', 8),
+]
+
+
+def build_from_config(path, dtype):
+    """Assemble bundle + criterion + assigner + tx + postprocessor from a
+    sample config (the same calls Experiment.__init__ makes, engine.py:126-179,
+    minus datasets/loaders)."""
+    from single_shot_detection_tpu.models import builder
+    from single_shot_detection_tpu.ops.box_coder import BoxCoder
+    from single_shot_detection_tpu.ops.losses import MultiboxLoss
+    from single_shot_detection_tpu.ops.matching import TargetAssigner
+    from single_shot_detection_tpu.ops.postprocess import Postprocessor
+    from single_shot_detection_tpu.ops.sampling import build_sampler
+    from single_shot_detection_tpu.train import optimizers
+    from single_shot_detection_tpu.utils.config import load_config
+    from single_shot_detection_tpu.utils.misc import filter_kwargs
+
+    cfg = load_config(path, phases=[])
+    model_cfg = dict(cfg.model)
+    detector_cfg = dict(model_cfg['detector'])
+    bundle = builder.build(
+        base=model_cfg['base'],
+        anchor_generator=model_cfg['anchor_generator'],
+        input_size=tuple(cfg.input_size),
+        dtype=dtype,
+        **{k: v for k, v in detector_cfg.items()
+           if k in ('num_classes', 'use_depthwise', 'features', 'extras',
+                    'predictor', 'heads')})
+
+    sampler_cfg = dict(cfg.sampler or {'name': 'naive_sampler'})
+    sampler = build_sampler(sampler_cfg.pop('name'), **sampler_cfg)
+    coder = filter_kwargs(BoxCoder)(**(cfg.box_coder or {}))
+    criterion = filter_kwargs(MultiboxLoss)(
+        sampler=sampler, box_coder=coder, **cfg.loss)
+    assigner = filter_kwargs(TargetAssigner)(**(cfg.target_assigner or {}))
+    postprocessor = filter_kwargs(Postprocessor)(
+        box_coder=coder, **cfg.postprocess)
+
+    opt_cfg = dict((cfg.train or {}).get('optimizer',
+                                         {'name': 'SGD', 'lr': 1e-3}))
+    opt_cfg = {k: v for k, v in opt_cfg.items()
+               if not isinstance(v, str) or k == 'name'}  # skip uninterpolated
+    tx = optimizers.create_optimizer(opt_cfg)
+    return cfg, bundle, criterion, assigner, postprocessor, tx
+
+
+def synth_batch(batch, img_hw, num_classes, max_gt=8, seed=0):
+    h, w = img_hw
+    rng = np.random.RandomState(seed)
+    boxes = np.zeros((batch, max_gt, 6), np.float32)
+    mask = np.zeros((batch, max_gt), bool)
+    for b in range(batch):
+        n = rng.randint(1, max_gt // 2 + 1)
+        for i in range(n):
+            cx, cy = rng.rand() * (w - 100) + 50, rng.rand() * (h - 100) + 50
+            bw, bh = rng.rand(2) * 80 + 30
+            boxes[b, i] = [cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2,
+                           rng.randint(1, num_classes), 1.0]
+            mask[b, i] = True
+    return {'image': jnp.asarray(rng.rand(batch, h, w, 3).astype(np.float32)),
+            'boxes': jnp.asarray(boxes), 'box_mask': jnp.asarray(mask)}
+
+
+def _retry(fn, *args, attempts=3, **kwargs):
+    for i in range(attempts):
+        try:
+            return fn(*args, **kwargs)
+        except jax.errors.JaxRuntimeError as exc:
+            if i == attempts - 1:
+                raise
+            print(f'transient backend error ({exc}); retrying', flush=True)
+            time.sleep(5)
+
+
+def bench_config(name, batch, dtype, steps):
+    from single_shot_detection_tpu.train import (create_train_state,
+                                                 make_train_step)
+    from single_shot_detection_tpu.train.step import make_predict_step
+
+    path = os.path.join(ROOT, 'samples', name)
+    cfg, bundle, criterion, assigner, postprocessor, tx = build_from_config(
+        path, dtype)
+    anchors = bundle.anchors()
+    input_size = tuple(cfg.input_size)
+    print(f'--- {name}: input {input_size}, batch {batch}, '
+          f'{anchors.shape[0]} anchors, compiling...', flush=True)
+
+    state = create_train_state(bundle.init(jax.random.PRNGKey(0)), tx)
+    n_params = sum(np.prod(x.shape) for x in
+                   jax.tree_util.tree_leaves(state.params))
+    step = make_train_step(bundle.module, criterion, assigner, anchors, tx,
+                           donate=True)
+    batch_data = synth_batch(batch, input_size, bundle.num_classes)
+
+    key = jax.random.PRNGKey(1)
+    t_c0 = time.perf_counter()
+    state, metrics = step(state, batch_data, key)
+    jax.block_until_ready(metrics['loss'])
+    compile_s = time.perf_counter() - t_c0
+
+    elapsed = None
+    for _ in range(2):  # first loop discarded (relay slow path)
+        t0 = time.perf_counter()
+        for i in range(steps):
+            state, metrics = step(state, batch_data, jax.random.fold_in(key, i))
+        jax.block_until_ready(metrics['loss'])
+        elapsed = time.perf_counter() - t0
+    train_img_s = batch * steps / elapsed
+
+    # fused inference: forward + on-chip postprocess
+    predict = make_predict_step(bundle.module, postprocessor, anchors)
+    variables = {'params': state.params, 'batch_stats': state.batch_stats}
+    out = predict(variables, batch_data['image'])
+    jax.block_until_ready(out)
+    elapsed = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            out = predict(variables, batch_data['image'])
+        jax.block_until_ready(out)
+        elapsed = time.perf_counter() - t0
+    infer_img_s = batch * steps / elapsed
+
+    row = {
+        'config': name.replace('.py', ''),
+        'batch': batch,
+        'input': list(input_size),
+        'params_m': round(float(n_params) / 1e6, 2),
+        'train_img_s': round(train_img_s, 1),
+        'train_ms_per_step': round(1000.0 * batch / train_img_s, 2),
+        'infer_img_s': round(infer_img_s, 1),
+        'compile_s': round(compile_s, 1),
+        'dtype': str(jnp.zeros((), dtype).dtype),
+    }
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--dtype', default='bf16', choices=['bf16', 'f32'])
+    ap.add_argument('--steps', type=int, default=10)
+    ap.add_argument('--configs', default=None,
+                    help='comma-separated subset of config file names')
+    args = ap.parse_args()
+    dtype = jnp.bfloat16 if args.dtype == 'bf16' else jnp.float32
+
+    rows = []
+    for name, batch in PARITY:
+        if args.configs and name.replace('.py', '') not in args.configs:
+            continue
+        rows.append(_retry(bench_config, name, batch, dtype, args.steps))
+
+    print('\nconfig                      batch  train img/s   ms/step  infer img/s')
+    for r in rows:
+        print(f"{r['config']:<27} {r['batch']:>5} {r['train_img_s']:>12} "
+              f"{r['train_ms_per_step']:>9} {r['infer_img_s']:>12}")
+
+
+if __name__ == '__main__':
+    main()

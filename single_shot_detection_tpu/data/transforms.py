@@ -408,37 +408,57 @@ def sample_view(img, window, out_size, fill):
 PHOTOMETRIC_KINDS = ('brightness', 'contrast', 'hue_saturation')
 
 
-def _apply_geom(kind, kw, key, state):
-    """Apply one geometric transform to the window/box state.
+def _apply_photo(kind, kw, key, img):
+    """Apply one photometric transform to the staged image."""
+    if kind == 'brightness':
+        return adjust_brightness(key, img, kw['max_delta'], kw['p'])
+    if kind == 'contrast':
+        return adjust_contrast(key, img, kw['delta_range'], kw['p'])
+    if kind == 'hue_saturation':
+        return adjust_hue_saturation(key, img, kw['max_hue_delta'],
+                                     kw['saturation_delta_range'], kw['p'])
+    raise AssertionError(f'unknown photometric kind: {kind}')
 
-    ``oneof`` evaluates every branch and selects one uniformly (the
-    reference's OneOf, transforms.py:19-21) — all branches are pure state
-    updates, so selection is a tree of ``jnp.select``.
+
+def _apply_stage(kind, kw, key, img, state):
+    """Apply one transform to the ``(staged image, window/box state)`` pair.
+
+    Photometric kinds update the staged image (pointwise ops commute with
+    the final resample up to bilinear interpolation, so applying them on
+    the staged image preserves the reference's per-position semantics);
+    geometric kinds update the window/box state; ``oneof`` evaluates every
+    branch — photometric, geometric, or nested ``oneof`` alike (parity:
+    the reference's OneOf accepts any transform, transforms.py:19-25) —
+    and selects one uniformly via ``jnp.select`` over both carriers.
     """
+    if kind in PHOTOMETRIC_KINDS:
+        return _apply_photo(kind, kw, key, img), state
     if kind == 'identity':
-        return state
+        return img, state
     if kind == 'rot90':
-        return rot90_op(key, state)
+        return img, rot90_op(key, state)
     if kind == 'expand':
-        return expand_op(key, state, kw['aspect_ratio_range'],
-                         kw['area_range'], kw['p'])
+        return img, expand_op(key, state, kw['aspect_ratio_range'],
+                              kw['area_range'], kw['p'])
     if kind == 'crop':
-        return crop_op(key, state, **kw)
+        return img, crop_op(key, state, **kw)
     if kind == 'hflip':
-        return hflip_op(key, state, kw['p'])
+        return img, hflip_op(key, state, kw['p'])
     if kind == 'vflip':
-        return vflip_op(key, state, kw['p'])
+        return img, vflip_op(key, state, kw['p'])
     if kind == 'oneof':
         k_pick, k_op = jax.random.split(key)
         pick = jax.random.randint(k_pick, (), 0, len(kw))
-        results = [_apply_geom(bk, bkw, k_op, state) for bk, bkw in kw]
+        results = [_apply_stage(bk, bkw, k_op, img, state)
+                   for bk, bkw in kw]
         if len(results) == 1:
             return results[0]
         return jax.tree_util.tree_map(
-            lambda *xs: jnp.select([pick == i for i in range(len(xs))],
-                                   list(xs)),
+            lambda *xs: (xs[0] if all(x is xs[0] for x in xs) else
+                         jnp.select([pick == i for i in range(len(xs))],
+                                    [jnp.asarray(x) for x in xs])),
             *results)
-    raise AssertionError(f'unknown geometric kind: {kind}')
+    raise AssertionError(f'unknown transform kind: {kind}')
 
 class Pipeline:
     """Config-driven batched augmentation+preprocessing
@@ -456,8 +476,10 @@ class Pipeline:
                  input_size: Tuple[int, int] = (300, 300),
                  train: bool = True):
         self.input_size = tuple(input_size)
-        self.photometric: List[Tuple[str, Dict[str, Any]]] = []
-        self.geometric: List[Tuple[str, Any]] = []
+        # transforms run in config order (the reference applies Compose
+        # sequentially, transforms.py:13-17); photometric entries update the
+        # staged image, geometric ones the window/box state
+        self.stages: List[Tuple[str, Any]] = []
         self.divisor = 1.0
         self.mean = None
         self.std = None
@@ -466,11 +488,7 @@ class Pipeline:
         for spec in specs:
             entry = self._parse_one(spec)
             if entry is not None:
-                kind, kw = entry
-                if kind in PHOTOMETRIC_KINDS:
-                    self.photometric.append((kind, kw))
-                else:
-                    self.geometric.append((kind, kw))
+                self.stages.append(entry)
 
         for spec in preprocessing:
             name = spec['name']
@@ -534,35 +552,19 @@ class Pipeline:
                 entry = self._parse_one(sub)
                 if entry is None:
                     entry = ('identity', {})
-                if entry[0] in PHOTOMETRIC_KINDS:
-                    raise NotImplementedError(
-                        f'OneOf over photometric {sub["name"]} not supported')
                 branches.append(entry)
             return ('oneof', branches)
         raise NotImplementedError(f'Unsupported augmentation: {name}')
 
     def _run_one(self, rng, img, boxes, mask):
         img = img.astype(jnp.float32)
-        keys = jax.random.split(rng, len(self.photometric) + len(self.geometric) + 2)
-        ki = 0
-
-        # photometric first (reference config order puts them before geometry)
-        for kind, kw in self.photometric:
-            key = keys[ki]; ki += 1
-            if kind == 'brightness':
-                img = adjust_brightness(key, img, kw['max_delta'], kw['p'])
-            elif kind == 'contrast':
-                img = adjust_contrast(key, img, kw['delta_range'], kw['p'])
-            else:
-                img = adjust_hue_saturation(key, img, kw['max_hue_delta'],
-                                            kw['saturation_delta_range'], kw['p'])
-
-        fill = jnp.mean(img, axis=(0, 1))  # expand fill (functional/img.py:105)
+        keys = jax.random.split(rng, len(self.stages) + 2)
 
         state = identity_state(img.shape[1], img.shape[0], boxes, mask)
-        for kind, kw in self.geometric:
-            key = keys[ki]; ki += 1
-            state = _apply_geom(kind, kw, key, state)
+        for key, (kind, kw) in zip(keys, self.stages):
+            img, state = _apply_stage(kind, kw, key, img, state)
+
+        fill = jnp.mean(img, axis=(0, 1))  # expand fill (functional/img.py:105)
 
         cur_w, cur_h, D, t, valid, boxes, mask = state
         out_w, out_h = self.input_size

@@ -57,11 +57,81 @@ def save(checkpoint_dir: str, state, epoch: int) -> str:
     return path
 
 
-def restore(path: str, template_state) -> Tuple[object, dict]:
+# ---------------------------------------------------------------- migration
+# Key-migration rules (parity: detection/utils/model_fixer/rules.py:10-20 —
+# the reference rewrites stale checkpoint keys like the 'predictor.' prefix
+# or class->score head renames on load).  Each entry is a
+# ``(regex, replacement)`` applied with ``re.sub`` to the '/'-joined path of
+# every leaf in an incoming checkpoint whose key set no longer matches the
+# model; first matching rule wins.  Empty today (no legacy checkpoints exist
+# yet) — append an entry here when a refactor renames parameter paths, e.g.
+#   (r'^params/features/base_v1/', 'params/features/base/'),
+MIGRATION_RULES: list = []
+
+
+_EMPTY = object()  # marks an empty dict leaf (e.g. optax.EmptyState) so the
+                   # flatten/unflatten round trip preserves it
+
+
+def _flatten(tree, prefix=()):
+    if isinstance(tree, dict):
+        if not tree:
+            return {prefix: _EMPTY}
+        out = {}
+        for k, v in tree.items():
+            out.update(_flatten(v, prefix + (str(k),)))
+        return out
+    return {prefix: tree}
+
+
+def _unflatten(flat: dict) -> dict:
+    out: dict = {}
+    for path, value in flat.items():
+        node = out
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = {} if value is _EMPTY else value
+    return out
+
+
+def migrate_state_dict(raw: dict, template_dict: dict, rules=None) -> dict:
+    """Rewrite stale leaf paths of ``raw`` to match ``template_dict``.
+
+    Applies ``rules`` (default: module-level MIGRATION_RULES) only to keys
+    absent from the template; keys that match already pass through
+    untouched.  Returns the migrated nested dict; logs every rewrite."""
+    rules = MIGRATION_RULES if rules is None else rules
+    flat = _flatten(raw)
+    want = set(_flatten(template_dict))
+    out = {}
+    for path, value in flat.items():
+        if path in want or not rules:
+            out[path] = value
+            continue
+        joined = '/'.join(path)
+        for pattern, repl in rules:
+            migrated, n = re.subn(pattern, repl, joined)
+            if n:
+                new_path = tuple(migrated.split('/'))
+                logging.info(f'>> checkpoint migration: {joined} -> '
+                             f'{migrated}')
+                out[new_path] = value
+                break
+        else:
+            out[path] = value
+    return _unflatten(out)
+
+
+def restore(path: str, template_state, rules=None) -> Tuple[object, dict]:
     """Restore a state pytree into the template's structure; returns
-    (state, meta) (parity: helpers.py:44-66)."""
+    (state, meta) (parity: helpers.py:44-66).  Checkpoints whose parameter
+    paths predate a rename are rewritten via ``migrate_state_dict``."""
     with open(path, 'rb') as f:
-        state = serialization.from_bytes(template_state, f.read())
+        raw = serialization.msgpack_restore(f.read())
+    template_dict = serialization.to_state_dict(template_state)
+    if _flatten(raw).keys() != _flatten(template_dict).keys():
+        raw = migrate_state_dict(raw, template_dict, rules)
+    state = serialization.from_state_dict(template_state, raw)
     meta = {'epoch': 0, 'global_step': int(jax.device_get(state.step))}
     meta_path = path + '.meta.json'
     if os.path.exists(meta_path):

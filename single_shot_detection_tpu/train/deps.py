@@ -343,7 +343,16 @@ def analyze_jaxpr(closed_jaxpr, param_paths: Sequence[Optional[Path]]
                 setout(None, i)
         else:
             subs = list(_subjaxprs(eqn.params))
-            if len(subs) == 1 and len(subs[0].jaxpr.invars) == len(ins):
+            # Inline only true call-like primitives: every sub invar must have
+            # the SAME aval shape as the outer atom it binds.  Primitives like
+            # lax.scan satisfy the arity check but rank-reduce their xs invars
+            # per iteration, so a copied ChanAnn/VecAnn axis would be off by
+            # one — silently corrupting the analysis instead of degrading to
+            # not-pruned.  Shape mismatch → fall through to the freeze branch.
+            if (len(subs) == 1 and len(subs[0].jaxpr.invars) == len(ins)
+                    and all(getattr(getattr(a, 'aval', None), 'shape', None)
+                            == v.aval.shape
+                            for v, a in zip(subs[0].jaxpr.invars, ins))):
                 sub = subs[0]
                 for var, atom in zip(sub.jaxpr.invars, ins):
                     env[var] = read(atom)

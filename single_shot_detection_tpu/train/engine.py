@@ -364,7 +364,19 @@ class Experiment:
         Interrupt-safe: a KeyboardInterrupt/SIGTERM mid-epoch saves an
         emergency checkpoint before re-raising, so hours of a long run are
         resumable (the reference simply died, helpers.py:142-143 — recovery
-        was only as fresh as the last scheduled save)."""
+        was only as fresh as the last scheduled save).  SIGTERM (the usual
+        scheduler/timeout kill) is converted to KeyboardInterrupt for the
+        duration of the run; the previous handler is restored afterwards."""
+        import signal
+
+        def _sigterm(signum, frame):
+            raise KeyboardInterrupt('SIGTERM')
+
+        prev_handler = None
+        try:  # only the main thread may set handlers; skip elsewhere
+            prev_handler = signal.signal(signal.SIGTERM, _sigterm)
+        except ValueError:
+            pass
         try:
             return self._train_epochs()
         except KeyboardInterrupt:
@@ -374,6 +386,9 @@ class Experiment:
                 logging.warning(f'WW interrupted — emergency checkpoint '
                                 f'saved to {path}')
             raise
+        finally:
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
 
     def _train_epochs(self):
         loader = self.loaders['train']

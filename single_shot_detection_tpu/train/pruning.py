@@ -341,7 +341,7 @@ class Pruner:
         self._space_index = None
         if spaces is not None:
             self._space_index = self._index_spaces(spaces)
-            self.groups = self._groups_from_spaces(spaces)
+            self.groups = self._groups_from_spaces(spaces, params)
             # ensure every kernel has a group entry
             for k in conv_kernel_paths(params):
                 self.groups.setdefault(k, [k])
@@ -360,17 +360,27 @@ class Pruner:
         return idx
 
     @staticmethod
-    def _groups_from_spaces(spaces) -> Dict[Path, List[Path]]:
+    def _groups_from_spaces(spaces, params) -> Dict[Path, List[Path]]:
         """Writers of one space prune together (criterions.py:46-76 analog).
 
         Only full-width, zero-offset writers join a group — a depthwise
-        kernel spanning a concatenation keeps its own scores.
+        kernel spanning a concatenation keeps its own scores.  Both halves
+        of that condition are checked: offset == 0 AND the kernel's sliced
+        axis equals the space width (a wider kernel whose first segment
+        starts at 0 would otherwise join a group of different-width scores
+        and crash np.stack in _group_scores).
         """
+        def _full_width(m, s):
+            if m.offset != 0:
+                return False
+            arr = _get(params, m.path[1:])
+            return arr.shape[m.axis] == s.width
+
         groups: Dict[Path, List[Path]] = {}
         for s in spaces:
             writers = [m.path[1:] for m in s.members
                        if m.role in ('producer', 'depthwise')
-                       and m.path[0] == 'params' and m.offset == 0]
+                       and m.path[0] == 'params' and _full_width(m, s)]
             if len(writers) > 1:
                 for w in writers:
                     groups[w] = list(writers)

@@ -16,6 +16,7 @@ layout conversion:
 
 from __future__ import annotations
 
+import functools
 import logging
 from typing import Dict, Tuple
 
@@ -84,8 +85,13 @@ def mobilenet_v2_mapping() -> Dict[str, Tuple[str, ...]]:
     return m
 
 
-def vgg_bn_mapping(config) -> Dict[str, Tuple[str, ...]]:
-    """torchvision vggN_bn ``features.K`` -> our conv{i}/bn{i} names."""
+def vgg_mapping(config, bn: bool = True) -> Dict[str, Tuple[str, ...]]:
+    """torchvision vggN[_bn] ``features.K`` -> our conv{i}[/bn{i}] names.
+
+    With BN each conv block is (conv, bn, relu) — stride 3 in the
+    ``features`` Sequential; without BN it is (conv, relu) — stride 2 and
+    no bn keys.
+    """
     m: Dict[str, Tuple[str, ...]] = {}
     idx = 0
     conv = 0
@@ -94,10 +100,15 @@ def vgg_bn_mapping(config) -> Dict[str, Tuple[str, ...]]:
             idx += 1
             continue
         m[f'features.{idx}'] = (f'conv{conv}',)
-        m[f'features.{idx + 1}'] = (f'bn{conv}',)
-        idx += 3
+        if bn:
+            m[f'features.{idx + 1}'] = (f'bn{conv}',)
+        idx += 3 if bn else 2
         conv += 1
     return m
+
+
+def vgg_bn_mapping(config) -> Dict[str, Tuple[str, ...]]:
+    return vgg_mapping(config, bn=True)
 
 
 def resnet_mapping(layers) -> Dict[str, Tuple[str, ...]]:
@@ -144,37 +155,97 @@ def shufflenet_v2_mapping(stage_repeats=(4, 8, 4)) -> Dict[str, Tuple[str, ...]]
     return m
 
 
+def mobilenet_v1_mapping() -> Dict[str, Tuple[str, ...]]:
+    """Reference custom MobileNet v1 state_dict (bf/base/mobilenet.py:96-112:
+    ``features.0.{conv,bn}`` then 13 ``features.{i}.{depthwise,pointwise}_
+    {conv,bn}`` blocks) -> our stage0/stage{1..13} names."""
+    m: Dict[str, Tuple[str, ...]] = {
+        'features.0.conv': ('stage0_conv',),
+        'features.0.bn': ('stage0_bn',),
+    }
+    for i in range(1, 14):
+        for name in ('depthwise_conv', 'depthwise_bn',
+                     'pointwise_conv', 'pointwise_bn'):
+            m[f'features.{i}.{name}'] = (f'stage{i}', name)
+    return m
+
+
+def se_resnet_mapping(layers) -> Dict[str, Tuple[str, ...]]:
+    """pretrainedmodels se_resnet/se_resnext state_dict layout
+    (``layer0.{conv1,bn1}``; ``layer{L}.{b}.{conv,bn}{1..3}``,
+    ``.se_module.{fc1,fc2}`` 1x1 convs, ``.downsample.{0,1}``) -> our
+    SEResNet names (models/resnet.py:229-275)."""
+    m: Dict[str, Tuple[str, ...]] = {
+        'layer0.conv1': ('conv1',), 'layer0.bn1': ('bn1',),
+    }
+    for li, count in enumerate(layers, start=1):
+        for b in range(count):
+            base = f'layer{li}.{b}'
+            ours = f'layer{li}_{b}'
+            for name in ('conv1', 'bn1', 'conv2', 'bn2', 'conv3', 'bn3'):
+                m[f'{base}.{name}'] = (ours, name)
+            m[f'{base}.se_module.fc1'] = (ours, 'se', 'fc1')
+            m[f'{base}.se_module.fc2'] = (ours, 'se', 'fc2')
+            m[f'{base}.downsample.0'] = (ours, 'downsample_conv')
+            m[f'{base}.downsample.1'] = (ours, 'downsample_bn')
+    return m
+
+
+SE_LAYERS = {
+    'se_resnet50': (3, 4, 6, 3),
+    'se_resnet101': (3, 4, 23, 3),
+    'se_resnet152': (3, 8, 36, 3),
+    'se_resnext50_32x4d': (3, 4, 6, 3),
+    'se_resnext101_32x4d': (3, 4, 23, 3),
+}
+
 MAPPINGS = {
     'torchvision_mobilenet_v2': lambda: mobilenet_v2_mapping(),
     'mobilenet_v2': lambda: mobilenet_v2_mapping(),
+    'mobilenet_v1': mobilenet_v1_mapping,
 }
 for _suffix in ('x0_5', 'x1_0', 'x1_5', 'x2_0'):
     MAPPINGS[f'torchvision_shufflenet_v2_{_suffix}'] = shufflenet_v2_mapping
+for _mult in ('10', '075', '05', '035'):
+    MAPPINGS[f'mobilenet_v2_{_mult}'] = mobilenet_v2_mapping
+for _mult in ('10', '075', '05', '025'):
+    MAPPINGS[f'mobilenet_{_mult}'] = mobilenet_v1_mapping
+for _name, _layers in SE_LAYERS.items():
+    MAPPINGS[f'pretrainedmodels_{_name}'] = functools.partial(
+        se_resnet_mapping, _layers)
+
+
+def resolve_mapping(backbone_name: str) -> Dict[str, Tuple[str, ...]]:
+    """torch state_dict prefix -> our param path, for any registry backbone."""
+    if backbone_name.startswith('torchvision_vgg'):
+        from single_shot_detection_tpu.models.vgg import VGG_CONFIGS
+        depth = int(''.join(ch for ch in backbone_name if ch.isdigit()))
+        return vgg_mapping(VGG_CONFIGS[depth],
+                           bn=backbone_name.endswith('_bn'))
+    if backbone_name.startswith('torchvision_resnet') or \
+            backbone_name.startswith('torchvision_resnext'):
+        from single_shot_detection_tpu.models.resnet import RESNET_CONFIGS
+        depth = int(''.join(ch for ch in backbone_name.split('_')[1]
+                            if ch.isdigit()))
+        return resnet_mapping(RESNET_CONFIGS[depth]['layers'])
+    if backbone_name in MAPPINGS:
+        return MAPPINGS[backbone_name]()
+    raise KeyError(f'No torch mapping for backbone {backbone_name!r}')
 
 
 def import_backbone(state_dict: Dict[str, np.ndarray],
                     variables: dict,
                     backbone_name: str,
-                    base_path: Tuple[str, ...] = ('features', 'base')) -> dict:
+                    base_path: Tuple[str, ...] = ('features', 'base'),
+                    mapping: Dict[str, Tuple[str, ...]] = None) -> dict:
     """Fill the backbone subtree of ``variables`` from a torch state_dict.
 
     Returns a new variables dict; unmatched target params keep their init
     (logged).  ``base_path`` locates the backbone inside the detector tree.
+    An explicit ``mapping`` overrides the name-based resolution.
     """
-    if backbone_name.startswith('torchvision_vgg'):
-        from single_shot_detection_tpu.models.vgg import VGG_CONFIGS
-        depth = int(''.join(ch for ch in backbone_name if ch.isdigit()))
-        mapping = vgg_bn_mapping(VGG_CONFIGS[depth])
-    elif backbone_name.startswith('torchvision_resnet') or \
-            backbone_name.startswith('torchvision_resnext'):
-        from single_shot_detection_tpu.models.resnet import RESNET_CONFIGS
-        depth = int(''.join(ch for ch in backbone_name.split('_')[1]
-                            if ch.isdigit()))
-        mapping = resnet_mapping(RESNET_CONFIGS[depth]['layers'])
-    elif backbone_name in MAPPINGS:
-        mapping = MAPPINGS[backbone_name]()
-    else:
-        raise KeyError(f'No torch mapping for backbone {backbone_name!r}')
+    if mapping is None:
+        mapping = resolve_mapping(backbone_name)
 
     import jax
 

@@ -188,3 +188,102 @@ def test_clamp_preserves_channel_annotation():
             if any(m_.path[-2] == 'conv' for m_ in s.by_role('producer'))]
     # the head must be registered as consumer through the clamp
     assert any(m_.path[-2] == 'head' for m_ in s.by_role('consumer'))
+
+
+def _writer_cover_and_spaces(module, variables, in_shape):
+    from single_shot_detection_tpu.train.pruning import conv_kernel_paths
+    spaces = deps.analyze_module(module, variables, in_shape)
+    kernels = {('params',) + k
+               for k in conv_kernel_paths(variables['params'])}
+    writers = {m_.path for s in spaces for m_ in s.members
+               if m_.role in ('producer', 'depthwise')}
+    assert not (kernels - writers), kernels - writers
+    return spaces
+
+
+def test_shufflenet_channel_shuffle_freezes_not_corrupts():
+    """ShuffleNetV2's channel shuffle (reshape/transpose of the channel axis,
+    models/shufflenet_v2.py:26-30) is an unprovable topology for channel
+    pruning: the analyzer must FREEZE the spaces that flow into it — never
+    emit prunable spaces with silently wrong members (the module's safety
+    contract, deps.py docstring)."""
+    from single_shot_detection_tpu.models.shufflenet_v2 import (
+        SHUFFLENET_WIDTHS, ShuffleNetV2)
+
+    m = ShuffleNetV2(channels=SHUFFLENET_WIDTHS[0.5])
+    variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    spaces = _writer_cover_and_spaces(m, variables, (1, 64, 64, 3))
+
+    # the branch OUTPUT convs (branch1_pw / branch2_pw2) feed the concat
+    # that is immediately channel-shuffled: those spaces must be frozen.
+    # (branch2_pw1 is internal to the branch — consumed by the depthwise
+    # before the shuffle — and may stay prunable.)
+    checked = 0
+    for s in spaces:
+        for mem in s.by_role('producer'):
+            leafmod = str(mem.path[-2])
+            if leafmod in ('branch1_pw', 'branch2_pw2'):
+                checked += 1
+                assert s.frozen, (mem.path, 'shuffle-fed space not frozen')
+    assert checked >= 10, checked  # every stage unit has these convs
+
+
+def test_m2det_tum_concat_chain_analysis():
+    """An M2Det MLFPN slice (2 TUMs, 3 scales): the analyzer must cover every
+    conv as a writer and keep per-scale concat consumer offsets consistent
+    (TUM outputs concatenate across TUMs before SFAM, features.py:303)."""
+    from single_shot_detection_tpu.models import builder
+
+    b = builder.build(
+        base={'name': 'mobilenet_v2', 'depth_multiplier': 0.35},
+        anchor_generator={'type': 'ssd', 'num_scales': 3, 'min_scale': 0.2,
+                          'max_scale': 0.9, 'aspect_ratios': [[1.0]] * 3},
+        num_classes=5,
+        features={'name': 'MultilevelFeaturePyramid',
+                  'out_layers': (13, 18), 'num_scales': 3, 'num_tums': 2,
+                  'base_reduced_channels': [64, 32], 'reduced_channels': 32,
+                  'tum': {'inner_channels': 32, 'out_channels': 16}},
+        extras=None, input_size=(64, 64))
+    variables = b.init(jax.random.PRNGKey(0))
+    spaces = _writer_cover_and_spaces(b.module, variables, (1, 64, 64, 3))
+
+    # TUM smooth outputs of tum0/tum1 join per-scale concats consumed by the
+    # SFAM gates / heads: the SECOND tum's segment must either carry a
+    # nonzero consumer offset (concat-offset bookkeeping, deps.py) or be
+    # frozen (if an unprovable op intervenes) — never a zero-offset prunable
+    # alias of the first tum's segment
+    tum1_spaces = []
+    for s in spaces:
+        for m_ in s.by_role('producer'):
+            joined = '/'.join(str(p) for p in m_.path)
+            if '/tum1/' in joined and '/smooth' in joined:
+                tum1_spaces.append(s)
+                break
+    assert tum1_spaces, 'tum1 smooth convs produced no tracked spaces'
+    for s in tum1_spaces:
+        cons = s.by_role('consumer')
+        assert s.frozen or any(m_.offset > 0 for m_ in cons), (
+            s.frozen, [(m_.path, m_.offset) for m_ in cons])
+
+
+def test_scan_like_subjaxpr_freezes_instead_of_inlining():
+    """ADVICE r2 (medium): a primitive with one sub-jaxpr and matching invar
+    COUNT but rank-reduced invar SHAPES (lax.scan's xs) must not be inlined
+    with verbatim annotations — it must degrade to frozen/not-pruned."""
+    class ScanNet(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            h = nn.Conv(6, (1, 1), name='conv', use_bias=False)(x)
+
+            def body(c, s):
+                return c * s, ()
+
+            h, _ = jax.lax.scan(body, h, jnp.ones((3,)))
+            return nn.Conv(2, (1, 1), name='head', use_bias=False)(h)
+
+    m = ScanNet()
+    variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 4, 3)))
+    spaces = _writer_cover_and_spaces(m, variables, (1, 4, 4, 3))
+    (s,) = [s for s in spaces
+            if any(m_.path[-2] == 'conv' for m_ in s.by_role('producer'))]
+    assert s.frozen, 'scan body must freeze the space, not inline it'

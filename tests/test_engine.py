@@ -464,3 +464,42 @@ def test_interrupt_saves_emergency_checkpoint(tmp_path, monkeypatch):
         exp.train()
     from single_shot_detection_tpu.train import checkpoint as ckpt
     assert ckpt.find_latest(exp.checkpoint_dir) is not None
+
+
+def test_checkpoint_key_migration(tmp_path):
+    """model_fixer analog (reference rules.py:10-20): a checkpoint whose
+    param paths predate a rename restores through MIGRATION_RULES-style
+    rewrite rules — params, batch_stats and optimizer slots alike."""
+    import jax.numpy as jnp
+    import optax
+
+    from single_shot_detection_tpu.train import checkpoint as ckpt
+    from single_shot_detection_tpu.train.state import TrainState
+
+    tx = optax.sgd(1e-2, momentum=0.9)  # momentum: opt_state mirrors params
+    old_params = {'features_v1': {'conv': {'kernel': jnp.ones((1, 1, 2, 3))}}}
+    old_state = TrainState(step=jnp.asarray(5, jnp.int32), params=old_params,
+                           batch_stats={'features_v1': {'bn': {
+                               'mean': jnp.full((3,), 2.0)}}},
+                           opt_state=tx.init(old_params),
+                           lr_scale=jnp.asarray(1.0, jnp.float32))
+    path = ckpt.save(str(tmp_path), old_state, epoch=7)
+
+    new_params = {'features': {'conv': {'kernel': jnp.zeros((1, 1, 2, 3))}}}
+    template = TrainState(step=jnp.asarray(0, jnp.int32), params=new_params,
+                          batch_stats={'features': {'bn': {
+                              'mean': jnp.zeros((3,))}}},
+                          opt_state=tx.init(new_params),
+                          lr_scale=jnp.asarray(1.0, jnp.float32))
+
+    rules = [(r'(^|/)features_v1(/|$)', r'\1features\2')]
+    restored, meta = ckpt.restore(path, template, rules=rules)
+    assert meta['epoch'] == 7
+    np.testing.assert_array_equal(
+        np.asarray(restored.params['features']['conv']['kernel']), 1.0)
+    np.testing.assert_array_equal(
+        np.asarray(restored.batch_stats['features']['bn']['mean']), 2.0)
+
+    # without rules the stale checkpoint must fail loudly, not silently
+    with pytest.raises(Exception):
+        ckpt.restore(path, template, rules=[])

@@ -321,3 +321,47 @@ def test_postprocessor_parity(rng):
         np.testing.assert_allclose(ours[:, 4], ref[:, 4])  # classes
         np.testing.assert_allclose(ours[:, :4], ref[:, :4], rtol=1e-3,
                                    atol=1e-3)  # boxes
+
+
+def test_mobilenet_v1_import_forward_parity(rng):
+    """Full-backbone forward parity: the reference's custom torch MobileNet
+    (bf/base/mobilenet.py:71-128) with randomized weights vs our flax
+    MobileNet fed the SAME weights through torch_import.mobilenet_v1_mapping.
+    Catches any permutation/indexing drift the synthetic-shape tests can't."""
+    ref_mod = _import_ref('bf.base.mobilenet')
+    import jax
+    from single_shot_detection_tpu.models.mobilenet import MobileNet
+    from single_shot_detection_tpu.utils import torch_import
+
+    ref = ref_mod.MobileNet(include_top=False, init_weights=True)
+    # randomize BN affine + running stats too (init leaves them at 0/1)
+    sd = ref.state_dict()
+    gen = np.random.RandomState(5)
+    for k, v in sd.items():
+        if k.endswith('running_var'):
+            sd[k] = torch.from_numpy(
+                gen.rand(*v.shape).astype(np.float32) + 0.5)
+        elif k.endswith('num_batches_tracked'):
+            continue
+        else:
+            sd[k] = torch.from_numpy(
+                gen.randn(*v.shape).astype(np.float32) * 0.1)
+    ref.load_state_dict(sd)
+    ref.eval()
+
+    ours = MobileNet()
+    x = rng.rand(1, 64, 64, 3).astype(np.float32)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    new_vars = torch_import.import_backbone(
+        {k: v for k, v in sd.items()}, variables, 'mobilenet_v1',
+        base_path=())
+
+    stages, _ = ours.apply(new_vars, jnp.asarray(x), train=False)
+    got = np.asarray(stages[-1])
+
+    with torch.no_grad():
+        expected = ref.features(
+            torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    expected = expected.transpose(0, 2, 3, 1)
+    assert got.shape == expected.shape
+    np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-4)

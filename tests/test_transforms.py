@@ -304,3 +304,82 @@ def test_boxes_track_content_through_full_pipeline(rng):
 def test_boxes_track_content_any_transform_order(rng):
     for order in _ORDERINGS[1:]:
         _track_content(order)
+
+
+def test_oneof_photometric_branches():
+    """OneOf over a photometric branch (reference transforms.py:19-25 allows
+    any transform under OneOf): the output must equal exactly one branch's
+    own result — here a DETERMINISTIC contrast (delta_range pinned to 2.0,
+    p=1) vs Identity — and both branches must occur across seeds."""
+    pipe = Pipeline(
+        augmentations=[{'name': 'OneOf', 'args': {'transforms': [
+            {'name': 'RandomAdjustContrast',
+             'args': {'contrast_delta_range': (2.0, 2.0), 'p': 1.0}},
+            {'name': 'Identity'},
+        ]}}],
+        preprocessing=[{'name': 'ToFloatTensor', 'args': {'normalize': True}}],
+        input_size=(16, 16), train=True)
+
+    img = np.random.RandomState(3).randint(40, 200, (1, 16, 16, 3), np.uint8)
+    imgf = img[0].astype(np.float32)
+    mean = imgf.reshape(-1, 3).mean(0)
+    contrasted = np.clip(mean + 2.0 * (imgf - mean), 0, 255) / 255.0
+    identity = imgf / 255.0
+    boxes = np.zeros((1, 1, 7), np.float32)
+    boxes[0, 0] = [2, 2, 10, 10, 1, 1, 0]
+    mask = np.ones((1, 1), bool)
+
+    hits = {'contrast': 0, 'identity': 0}
+    for seed in range(10):
+        out, ob, om = pipe(jax.random.PRNGKey(seed), jnp.asarray(img),
+                           jnp.asarray(boxes), jnp.asarray(mask))
+        o = np.asarray(out[0])
+        if np.allclose(o, contrasted, atol=1e-4):
+            hits['contrast'] += 1
+        elif np.allclose(o, identity, atol=1e-4):
+            hits['identity'] += 1
+        else:
+            raise AssertionError(f'seed {seed}: output matches neither branch')
+        # photometric branches never move boxes
+        np.testing.assert_allclose(np.asarray(ob), boxes, atol=1e-5)
+    assert hits['contrast'] > 0 and hits['identity'] > 0, hits
+
+
+def test_oneof_mixed_photometric_geometric():
+    """OneOf over {photometric, geometric} branches: output is exactly one of
+    {contrast(img) with unmoved boxes, hflip(img) with mirrored boxes}."""
+    pipe = Pipeline(
+        augmentations=[{'name': 'OneOf', 'args': {'transforms': [
+            {'name': 'RandomAdjustContrast',
+             'args': {'contrast_delta_range': (2.0, 2.0), 'p': 1.0}},
+            {'name': 'RandomHorizontalFlip', 'args': {'p': 1.0}},
+        ]}}],
+        preprocessing=[{'name': 'ToFloatTensor', 'args': {'normalize': True}}],
+        input_size=(16, 16), train=True)
+
+    img = np.random.RandomState(7).randint(40, 200, (1, 16, 16, 3), np.uint8)
+    imgf = img[0].astype(np.float32)
+    mean = imgf.reshape(-1, 3).mean(0)
+    contrasted = np.clip(mean + 2.0 * (imgf - mean), 0, 255) / 255.0
+    flipped = imgf[:, ::-1] / 255.0
+    boxes = np.zeros((1, 1, 7), np.float32)
+    boxes[0, 0] = [2, 4, 10, 12, 1, 1, 0]
+    mirrored = boxes.copy()
+    mirrored[0, 0, 0] = 15 - 10
+    mirrored[0, 0, 2] = 15 - 2
+    mask = np.ones((1, 1), bool)
+
+    hits = {'contrast': 0, 'flip': 0}
+    for seed in range(10):
+        out, ob, om = pipe(jax.random.PRNGKey(seed), jnp.asarray(img),
+                           jnp.asarray(boxes), jnp.asarray(mask))
+        o = np.asarray(out[0])
+        if np.allclose(o, contrasted, atol=1e-4):
+            hits['contrast'] += 1
+            np.testing.assert_allclose(np.asarray(ob), boxes, atol=1e-5)
+        elif np.allclose(o, flipped, atol=1e-4):
+            hits['flip'] += 1
+            np.testing.assert_allclose(np.asarray(ob), mirrored, atol=1e-5)
+        else:
+            raise AssertionError(f'seed {seed}: output matches neither branch')
+    assert hits['contrast'] > 0 and hits['flip'] > 0, hits

@@ -1,0 +1,433 @@
+"""Cross-framework mAP parity: the torch reference vs this framework.
+
+Trains BOTH frameworks on the SAME staged synthetic dataset (identical
+JPEGs + annotations) with matched hyperparameters, then compares held-out
+mAP scored by ONE metric implementation (ours,
+``single_shot_detection_tpu.ops.metrics``), fed each framework's own
+eval predictions:
+
+  * the reference run is `/root/reference/main.py` driven as-is (torch CPU)
+    with minimal import stubs for packages absent in this environment
+    (torchvision -> pure-torch NMS, jpeg4py -> PIL decode, cv2 -> PIL
+    resize); its eval metric call is wrapped to ALSO dump the raw
+    (predictions, ground-truths) it was fed;
+  * our run is `main.py --config <matched config>` on the default device.
+
+Usage:  python tools/parity_run.py [--workdir DIR] [--epochs N] [--ours-cpu]
+
+Writes PARITY.md at the repo root with both numbers and the delta.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+IMG = 128
+TRAIN_N, EVAL_N = 96, 16
+NUM_CLASSES = 5
+BATCH = 8
+
+# matched experiment hyperparameters (mirrors the committed round-2
+# learning-evidence config, experiments/2026-08-16-225820/config.py, with
+# photometric/crop augmentations dropped: the reference's RandomCrop/HSV
+# paths need real OpenCV which this environment does not have)
+COMMON_CFG = """
+seed = 23
+
+model = {{
+    'base': {{'name': 'mobilenet_v2_035'}},
+    'detector': {{
+        'num_classes': {num_classes},
+        'use_depthwise': True,
+        'features': {{'name': 'Features', 'out_layers': (13, 18)}},
+        'extras': {{'layers': (('s', 128),)}},
+    }},
+    'anchor_generator': {{
+        'type': 'ssd',
+        'num_scales': 3,
+        'min_scale': 0.15,
+        'max_scale': 0.95,
+        'aspect_ratios': [[1.0, 2.0]] * 3,
+    }},
+}}
+
+box_coder = {{'xy_scale': 10.0, 'wh_scale': 5.0}}
+
+sampler = {{
+    'name': 'hard_negative_mining',
+    'negative_per_positive_ratio': 3,
+    'min_negative_per_image': 5,
+}}
+
+loss = {{
+    'classification_loss': {{'name': 'CrossEntropyLoss'}},
+    'localization_loss': {{'name': 'SmoothL1Loss'}},
+    'classification_weight': 1.0,
+    'localization_weight': 1.0,
+}}
+
+postprocess = {{
+    'score_threshold': 0.1,
+    'max_total': 50,
+    'nms': {{'max_per_class': 20, 'overlap_threshold': 0.45}},
+    'score_converter': 'SOFTMAX',
+}}
+
+target_assigner = {{'matched_threshold': 0.5, 'unmatched_threshold': 0.5}}
+
+augmentations = [
+    {{'name': 'RandomHorizontalFlip'}},
+]
+
+preprocessing = [
+    {{'name': 'ToFloatTensor', 'args': {{'normalize': True}}}},
+    {{'name': 'Normalize',
+     'args': {{'mean': [0.485, 0.456, 0.406], 'std': [0.229, 0.224, 0.225]}}}},
+]
+
+input_size = ({img}, {img})
+
+dataset = {{
+    'train': {{'name': 'Csv', 'path': r'{train_csv}'}},
+    'eval': {{'name': 'Csv', 'path': r'{eval_csv}'}},
+    'labels': {labels},
+}}
+
+batch_size = {batch}
+shuffle = True
+num_workers = 1
+
+train = {{
+    'accumulation_steps': 1,
+    'epochs': {epochs},
+    'eval_every': {eval_every},
+    'max_gt': 8,
+    'optimizer': {{'name': 'SGD', 'lr': 2e-3, 'momentum': 0.9}},
+    'scheduler': {{'name': 'CosineAnnealingWithWarmupLR', 'run_each_step': True,
+                  'T_max': '{{total_train_steps}}', 'warmup_steps': 4,
+                  'warmup_lr': 1e-4}},
+}}
+"""
+
+# The reference's model registry / anchor schema are intentionally
+# config-compatible; the only difference between the two config files is
+# the Csv name column (the reference appends '.jpg' itself, csv.py:41).
+
+REF_DRIVER = r'''
+import os
+import sys
+import types
+
+import numpy as np
+import torch
+
+torch.set_num_threads(max(os.cpu_count(), 1))
+
+# ---- stubs for packages absent in this environment ------------------------
+def _torch_nms(boxes, scores, iou_threshold):
+    """Pure-torch hard NMS (replaces torchvision.ops.nms for the oracle
+    run; exact greedy semantics)."""
+    if boxes.numel() == 0:
+        return torch.zeros(0, dtype=torch.long)
+    x1, y1, x2, y2 = boxes.unbind(1)
+    areas = (x2 - x1).clamp(min=0) * (y2 - y1).clamp(min=0)
+    order = scores.argsort(descending=True)
+    keep = []
+    while order.numel() > 0:
+        i = order[0]
+        keep.append(i.item())
+        if order.numel() == 1:
+            break
+        rest = order[1:]
+        xx1 = torch.max(x1[i], x1[rest])
+        yy1 = torch.max(y1[i], y1[rest])
+        xx2 = torch.min(x2[i], x2[rest])
+        yy2 = torch.min(y2[i], y2[rest])
+        inter = (xx2 - xx1).clamp(min=0) * (yy2 - yy1).clamp(min=0)
+        iou = inter / (areas[i] + areas[rest] - inter).clamp(min=1e-12)
+        order = rest[iou <= iou_threshold]
+    return torch.as_tensor(keep, dtype=torch.long)
+
+
+_tv = types.ModuleType('torchvision')
+_tv_models = types.ModuleType('torchvision.models')
+
+
+def _unavailable(*a, **k):
+    raise RuntimeError('torchvision models are not available here')
+
+
+for _n in ('mobilenet_v2', 'resnet18', 'resnet34', 'resnet50', 'resnet101',
+           'resnet152', 'resnext50_32x4d', 'resnext101_32x8d',
+           'shufflenet_v2_x0_5', 'shufflenet_v2_x1_0', 'shufflenet_v2_x1_5',
+           'shufflenet_v2_x2_0', 'vgg11', 'vgg11_bn', 'vgg13', 'vgg13_bn',
+           'vgg16', 'vgg16_bn', 'vgg19', 'vgg19_bn'):
+    setattr(_tv_models, _n, _unavailable)
+_tv.models = _tv_models
+_tv.ops = types.SimpleNamespace(nms=_torch_nms)
+sys.modules['torchvision'] = _tv
+sys.modules['torchvision.models'] = _tv_models
+
+
+class _JPEG:
+    def __init__(self, path):
+        self.path = path
+
+    def decode(self):
+        from PIL import Image
+        return np.asarray(Image.open(self.path).convert('RGB'))
+
+
+_j4p = types.ModuleType('jpeg4py')
+_j4p.JPEG = _JPEG
+sys.modules['jpeg4py'] = _j4p
+
+_cv2 = types.ModuleType('cv2')
+_cv2.INTER_LINEAR = 1
+_cv2.INTER_NEAREST = 0
+_cv2.INTER_AREA = 3
+_cv2.COLOR_RGB2HSV = 41
+_cv2.COLOR_HSV2RGB = 55
+_cv2.BORDER_CONSTANT = 0
+
+
+def _cv2_resize(img, dsize, interpolation=None):
+    w, h = dsize
+    if img.shape[1] == w and img.shape[0] == h:
+        return img.copy()
+    from PIL import Image
+    dtype = img.dtype
+    arr = img.astype(np.float32)
+    chans = [np.asarray(Image.fromarray(arr[..., c]).resize(
+        (w, h), Image.BILINEAR)) for c in range(arr.shape[-1])]
+    out = np.stack(chans, axis=-1)
+    return out.astype(dtype)
+
+
+def _cv2_absent(*a, **k):
+    raise NotImplementedError('cv2 stub: only resize is implemented')
+
+
+_cv2.resize = _cv2_resize
+_cv2.warpAffine = _cv2_absent
+_cv2.cvtColor = _cv2_absent
+sys.modules['cv2'] = _cv2
+
+sys.path.insert(0, os.environ['PARITY_REFERENCE'])
+
+# ---- wrap the metric to dump its raw inputs --------------------------------
+import detection.metrics.mean_average_precision as _refmap
+
+_orig_map = _refmap.mean_average_precision
+_dump_dir = os.environ['PARITY_DUMP_DIR']
+_counter = {'n': 0}
+
+
+def _dumping_map(predictions, gts, **kw):
+    result = _orig_map(predictions, gts, **kw)
+    payload = {'predictions': predictions.detach().cpu().numpy(),
+               'result': np.float64(result)}
+    for i, g in enumerate(gts):
+        payload[f'gt_{i}'] = g.detach().cpu().numpy()
+    np.savez(os.path.join(_dump_dir, f'eval_{_counter["n"]:03d}.npz'),
+             **payload)
+    _counter['n'] += 1
+    return result
+
+
+_refmap.mean_average_precision = _dumping_map
+
+# ---- drive the reference main() exactly as its CLI would -------------------
+import importlib.util
+
+spec = importlib.util.spec_from_file_location(
+    'ref_main', os.path.join(os.environ['PARITY_REFERENCE'], 'main.py'))
+ref_main = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(ref_main)
+
+from bf.training import helpers
+
+parser = helpers.get_default_argparser()
+parser.add_argument('--phases', nargs='+', default=['train', 'eval'])
+parser.add_argument('--video', type=str)
+parser.add_argument('--tensorboard', default=False, action='store_true')
+args = parser.parse_args([
+    '--config', os.environ['PARITY_REF_CONFIG'],
+    '--save-dir', os.environ['PARITY_REF_SAVEDIR'],
+    '--cpu',
+])
+ref_main.main(args)
+print('REFERENCE RUN DONE')
+'''
+
+
+def stage_dataset(workdir):
+    """Export the Synthetic dataset (data/datasets.py) as JPEGs + Csv in
+    BOTH frameworks' csv dialects (ours keeps the extension; the reference
+    appends '.jpg' itself and wants numeric class+score columns)."""
+    from PIL import Image
+
+    from single_shot_detection_tpu.data.datasets import Synthetic
+
+    img_dir = os.path.join(workdir, 'data')
+    os.makedirs(img_dir, exist_ok=True)
+    csvs = {}
+    for split, num, seed in (('train', TRAIN_N, 1), ('eval', EVAL_N, 2)):
+        ds = Synthetic(num_images=num, image_size=IMG,
+                       num_classes=NUM_CLASSES, max_boxes=3, seed=seed)
+        ours_rows, ref_rows = [], []
+        for i, ann in enumerate(ds.annotations):
+            name = f'{split}_{i:04d}'
+            Image.fromarray(ann['image']).save(
+                os.path.join(img_dir, name + '.jpg'), quality=95)
+            for b in ann['boxes']:
+                x0, y0, x1, y1, cls, score = b
+                ours_rows.append(f'{name}.jpg,{x0:.0f},{y0:.0f},{x1:.0f},'
+                                 f'{y1:.0f},{int(cls)}')
+                ref_rows.append(f'{name},{x0:.0f},{y0:.0f},{x1:.0f},'
+                                f'{y1:.0f},{int(cls)},1.0')
+        for flavor, rows in (('ours', ours_rows), ('ref', ref_rows)):
+            path = os.path.join(img_dir, f'{split}_{flavor}.csv')
+            with open(path, 'w') as f:
+                f.write('\n'.join(rows) + '\n')
+            csvs[(split, flavor)] = path
+    return csvs
+
+
+def write_configs(workdir, csvs, epochs):
+    labels = repr(['background'] + [f'class_{i}'
+                                    for i in range(1, NUM_CLASSES)])
+    out = {}
+    for flavor in ('ours', 'ref'):
+        cfg = COMMON_CFG.format(
+            num_classes=NUM_CLASSES, img=IMG, batch=BATCH, epochs=epochs,
+            eval_every=epochs, labels=labels,
+            train_csv=csvs[('train', flavor)],
+            eval_csv=csvs[('eval', flavor)])
+        path = os.path.join(workdir, f'config_{flavor}.py')
+        with open(path, 'w') as f:
+            f.write(cfg)
+        out[flavor] = path
+    return out
+
+
+def run_reference(workdir, cfg_path):
+    driver = os.path.join(workdir, 'ref_driver.py')
+    with open(driver, 'w') as f:
+        f.write(REF_DRIVER)
+    dump_dir = os.path.join(workdir, 'ref_dumps')
+    os.makedirs(dump_dir, exist_ok=True)
+    env = dict(os.environ)
+    env.update({
+        'PARITY_REFERENCE': os.environ.get('SSD_REFERENCE_PATH',
+                                           '/root/reference'),
+        'PARITY_REF_CONFIG': cfg_path,
+        'PARITY_REF_SAVEDIR': os.path.join(workdir, 'ref_out'),
+        'PARITY_DUMP_DIR': dump_dir,
+    })
+    log = os.path.join(workdir, 'ref.log')
+    t0 = time.time()
+    with open(log, 'w') as lf:
+        subprocess.run([sys.executable, driver], env=env, cwd=workdir,
+                       stdout=lf, stderr=subprocess.STDOUT, check=True)
+    dumps = sorted(os.listdir(dump_dir))
+    assert dumps, 'reference produced no eval dumps'
+    payload = np.load(os.path.join(dump_dir, dumps[-1]))
+    gts = [payload[k] for k in sorted(payload.files)
+           if k.startswith('gt_')]
+    gts = [payload[f'gt_{i}'] for i in range(len(gts))]
+    return {
+        'predictions': payload['predictions'],
+        'gts': gts,
+        'self_reported_mAP': float(payload['result']),
+        'minutes': (time.time() - t0) / 60.0,
+        'log': log,
+    }
+
+
+def run_ours(workdir, cfg_path, cpu=False):
+    env = dict(os.environ)
+    env['PYTHONPATH'] = ROOT + os.pathsep + env.get('PYTHONPATH', '')
+    save = os.path.join(workdir, 'ours_out')
+    log = os.path.join(workdir, 'ours.log')
+    cmd = [sys.executable, os.path.join(ROOT, 'main.py'),
+           '--config', cfg_path, '--save-dir', save]
+    if cpu:
+        cmd.append('--cpu')
+    t0 = time.time()
+    with open(log, 'w') as lf:
+        subprocess.run(cmd, env=env, cwd=ROOT, stdout=lf,
+                       stderr=subprocess.STDOUT, check=True)
+    # final eval mAP from the run's log.csv
+    exp_dirs = sorted(os.listdir(save))
+    csv_path = os.path.join(save, exp_dirs[-1], 'log.csv')
+    import csv as csv_module
+    with open(csv_path) as f:
+        rows = list(csv_module.DictReader(f))
+    maps = [float(r['eval_mAP']) for r in rows if r.get('eval_mAP')]
+    assert maps, f'no eval_mAP in {csv_path}'
+    return {'mAP': maps[-1], 'minutes': (time.time() - t0) / 60.0,
+            'log': log}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--workdir', default='/tmp/parity_run')
+    ap.add_argument('--epochs', type=int, default=150)
+    ap.add_argument('--ours-cpu', action='store_true')
+    ap.add_argument('--skip-reference', action='store_true')
+    ap.add_argument('--skip-ours', action='store_true')
+    args = ap.parse_args()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    csvs = stage_dataset(args.workdir)
+    cfgs = write_configs(args.workdir, csvs, args.epochs)
+    print(f'staged dataset + configs under {args.workdir}', flush=True)
+
+    results = {}
+    state_path = os.path.join(args.workdir, 'results.json')
+    if os.path.exists(state_path):
+        results = json.load(open(state_path))
+
+    if not args.skip_reference:
+        print('training the torch reference (CPU)...', flush=True)
+        ref = run_reference(args.workdir, cfgs['ref'])
+        from single_shot_detection_tpu.ops.metrics import \
+            mean_average_precision
+        labels = {i: f'class_{i}' for i in range(1, NUM_CLASSES)}
+        ref_ours_metric = mean_average_precision(
+            ref['predictions'], ref['gts'], labels, iou_threshold=0.5,
+            voc=False, verbose=False)
+        results['reference'] = {
+            'self_reported_mAP': ref['self_reported_mAP'],
+            'mAP_by_our_metric': float(ref_ours_metric),
+            'minutes': round(ref['minutes'], 1),
+        }
+        json.dump(results, open(state_path, 'w'), indent=2)
+        print(json.dumps(results['reference']), flush=True)
+
+    if not args.skip_ours:
+        print('training this framework...', flush=True)
+        ours = run_ours(args.workdir, cfgs['ours'], cpu=args.ours_cpu)
+        results['ours'] = {'mAP': ours['mAP'],
+                           'minutes': round(ours['minutes'], 1)}
+        json.dump(results, open(state_path, 'w'), indent=2)
+        print(json.dumps(results['ours']), flush=True)
+
+    if 'reference' in results and 'ours' in results:
+        delta = results['ours']['mAP'] - results['reference']['mAP_by_our_metric']
+        results['delta_mAP'] = round(delta, 4)
+        json.dump(results, open(state_path, 'w'), indent=2)
+        print(json.dumps(results, indent=2))
+
+
+if __name__ == '__main__':
+    main()
