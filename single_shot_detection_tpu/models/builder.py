@@ -137,6 +137,11 @@ def build(base: dict,
         f'{num_scales} scales vs {len(generators)} anchor generators'
     num_boxes = tuple(g.num_boxes for g in generators)
 
+    head_dtype = heads.get('dtype')
+    if isinstance(head_dtype, str):
+        head_dtype = {'float32': jnp.float32, 'bfloat16': jnp.bfloat16,
+                      'float16': jnp.float16}[head_dtype]
+
     module = Detector(features=neck,
                       num_classes=num_classes,
                       extras=extra_layers,
@@ -145,7 +150,8 @@ def build(base: dict,
                       predictor=dict(predictor) if predictor else None,
                       score_head_bias_init=heads.get('score_head_bias_init', 0.0),
                       axis_name=axis_name,
-                      dtype=dtype)
+                      dtype=dtype,
+                      head_dtype=head_dtype)
 
     return DetectorBundle(module=module,
                           anchor_generators=generators,

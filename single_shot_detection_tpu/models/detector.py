@@ -130,6 +130,11 @@ class Detector(nn.Module):
     extras_overrides: Any = None  # per-extra {'reduce': n, 'out': n} widths
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
+    # score/loc head conv dtype; None = follow ``dtype``.  Running the heads
+    # in f32 under a bf16 policy keeps the logits (and therefore the loss
+    # gradients and hard-negative-mining ranks) at full precision for a
+    # negligible FLOP cost — the mixed-precision "keep the ends wide" recipe.
+    head_dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_sources: bool = False):
@@ -166,16 +171,17 @@ class Detector(nn.Module):
             score_sources = loc_sources = sources
 
         batch = x.shape[0]
+        head_dtype = self.head_dtype if self.head_dtype is not None else self.dtype
         scores, locs = [], []
         for i, (nb, ss, ls) in enumerate(zip(self.num_boxes, score_sources,
                                              loc_sources)):
             s = nn.Conv(nb * self.num_classes, (3, 3), padding=((1, 1), (1, 1)),
                         use_bias=True, kernel_init=head_kernel_init,
                         bias_init=nn.initializers.constant(self.score_head_bias_init),
-                        dtype=self.dtype, name=f'score_head{i}')(ss)
+                        dtype=head_dtype, name=f'score_head{i}')(ss)
             l = nn.Conv(nb * 4, (3, 3), padding=((1, 1), (1, 1)),
                         use_bias=True, kernel_init=head_kernel_init,
-                        dtype=self.dtype, name=f'loc_head{i}')(ls)
+                        dtype=head_dtype, name=f'loc_head{i}')(ls)
             # NHWC: [B, H, W, nb*C] -> [B, H*W*nb, C]; matches anchor order
             scores.append(s.reshape(batch, -1, self.num_classes))
             locs.append(l.reshape(batch, -1, 4))

@@ -54,6 +54,10 @@ def test_sample_config_train_and_eval_step(path, tmp_path):
     cfg = load_config(path)
     c = cfg.config
     c.input_size = _tiny_input(tuple(c.input_size))
+    # the pruning sample points 'weight' at a placeholder trained-checkpoint
+    # path; this test trains from scratch
+    c.model.get('detector', {}).pop('weight', None)
+    c.model.get('detector', {}).pop('model', None)
     c.dataset = {
         'train': {'name': 'Synthetic', 'num_images': 4, 'image_size': 64,
                   'num_classes': 5, 'max_boxes': 3, 'seed': 1},

@@ -40,7 +40,7 @@ BATCH = 8
 # photometric/crop augmentations dropped: the reference's RandomCrop/HSV
 # paths need real OpenCV which this environment does not have)
 COMMON_CFG = """
-seed = 23
+seed = {seed}
 
 model = {{
     'base': {{'name': 'mobilenet_v2_035'}},
@@ -111,11 +111,14 @@ train = {{
     'eval_every': {eval_every},
     'max_gt': 8,
     'optimizer': {{'name': 'SGD', 'lr': 2e-3, 'momentum': 0.9}},
-    'scheduler': {{'name': 'CosineAnnealingWithWarmupLR', 'run_each_step': True,
-                  'T_max': '{{total_train_steps}}', 'warmup_steps': 4,
-                  'warmup_lr': 1e-4}},
+    'scheduler': {{'name': 'MultiStepLR', 'milestones': [{milestones}],
+                  'gamma': 0.1}},
 }}
 """
+# NB: the reference's CosineAnnealingWithWarmupLR cannot be built through its
+# own config path (schedulers.py defines it via __new__ only, so
+# train_builder.py:38's __init__.__code__ kwarg filter crashes) — MultiStepLR
+# is the scheduler its shipped samples actually use (ssd_mb2_voc.py:119-123).
 
 # The reference's model registry / anchor schema are intentionally
 # config-compatible; the only difference between the two config files is
@@ -130,6 +133,13 @@ import numpy as np
 import torch
 
 torch.set_num_threads(max(os.cpu_count(), 1))
+
+# the reference targets torch ~1.1: torch.jit.scope (used purely for traced
+# node naming, torch_utils.py:15) is gone in modern torch — null shim
+import contextlib
+
+if not hasattr(torch.jit, 'scope'):
+    torch.jit.scope = lambda *_a, **_k: contextlib.nullcontext()
 
 # ---- stubs for packages absent in this environment ------------------------
 def _torch_nms(boxes, scores, iou_threshold):
@@ -171,6 +181,15 @@ for _n in ('mobilenet_v2', 'resnet18', 'resnet34', 'resnet50', 'resnet101',
            'shufflenet_v2_x2_0', 'vgg11', 'vgg11_bn', 'vgg13', 'vgg13_bn',
            'vgg16', 'vgg16_bn', 'vgg19', 'vgg19_bn'):
     setattr(_tv_models, _n, _unavailable)
+
+
+class _NeverInstantiated:
+    """Placeholder classes for base_builder's isinstance checks
+    (base_builder.py:68-76) — nothing ever constructs them here."""
+
+
+_tv_models.ResNet = type('ResNet', (_NeverInstantiated,), {})
+_tv_models.ShuffleNetV2 = type('ShuffleNetV2', (_NeverInstantiated,), {})
 _tv.models = _tv_models
 _tv.ops = types.SimpleNamespace(nms=_torch_nms)
 sys.modules['torchvision'] = _tv
@@ -302,14 +321,15 @@ def stage_dataset(workdir):
     return csvs
 
 
-def write_configs(workdir, csvs, epochs):
+def write_configs(workdir, csvs, epochs, seed=23, milestones='100,130'):
     labels = repr(['background'] + [f'class_{i}'
                                     for i in range(1, NUM_CLASSES)])
     out = {}
     for flavor in ('ours', 'ref'):
         cfg = COMMON_CFG.format(
             num_classes=NUM_CLASSES, img=IMG, batch=BATCH, epochs=epochs,
-            eval_every=epochs, labels=labels,
+            eval_every=epochs, labels=labels, seed=seed,
+            milestones=milestones,
             train_csv=csvs[('train', flavor)],
             eval_csv=csvs[('eval', flavor)])
         path = os.path.join(workdir, f'config_{flavor}.py')
@@ -382,14 +402,22 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--workdir', default='/tmp/parity_run')
     ap.add_argument('--epochs', type=int, default=150)
+    ap.add_argument('--seed', type=int, default=23)
+    ap.add_argument('--train-n', type=int, default=96)
+    ap.add_argument('--eval-n', type=int, default=16)
+    ap.add_argument('--milestones', default='100,130')
     ap.add_argument('--ours-cpu', action='store_true')
     ap.add_argument('--skip-reference', action='store_true')
     ap.add_argument('--skip-ours', action='store_true')
     args = ap.parse_args()
 
+    global TRAIN_N, EVAL_N
+    TRAIN_N, EVAL_N = args.train_n, args.eval_n
+
     os.makedirs(args.workdir, exist_ok=True)
     csvs = stage_dataset(args.workdir)
-    cfgs = write_configs(args.workdir, csvs, args.epochs)
+    cfgs = write_configs(args.workdir, csvs, args.epochs, args.seed,
+                         args.milestones)
     print(f'staged dataset + configs under {args.workdir}', flush=True)
 
     results = {}
