@@ -45,8 +45,10 @@ class ExtraLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # parity: the reference initializes every extras conv with
+        # xavier_normal + zero bias (detector_builder.py:100-107)
         common = dict(activation=self.activation, axis_name=self.axis_name,
-                      dtype=self.dtype)
+                      dtype=self.dtype, kernel_init=xavier)
         reduce_f = (self.reduce_features if self.reduce_features is not None
                     else self.out_channels // 2)
         if self.type == 'm':

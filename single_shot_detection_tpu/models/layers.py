@@ -62,6 +62,7 @@ class ConvBn(nn.Module):
     activation: Optional[str] = 'ReLU'
     bn_momentum: float = 0.9
     bn_epsilon: float = 1e-5
+    kernel_init: Optional[Callable] = None  # None = flax default
     axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
 
@@ -72,9 +73,12 @@ class ConvBn(nn.Module):
         pad = self.padding
         if isinstance(pad, int):
             pad = ((pad, pad), (pad, pad))
+        init_kw = ({'kernel_init': self.kernel_init}
+                   if self.kernel_init is not None else {})
         x = nn.Conv(self.features, k, strides=(self.stride, self.stride),
                     padding=pad, feature_group_count=self.groups,
-                    use_bias=self.use_bias, dtype=self.dtype, name='conv')(x)
+                    use_bias=self.use_bias, dtype=self.dtype, name='conv',
+                    **init_kw)(x)
         if self.use_bn:
             x = nn.BatchNorm(use_running_average=not train,
                              momentum=self.bn_momentum, epsilon=self.bn_epsilon,
@@ -98,6 +102,7 @@ class DepthwiseConvBn(nn.Module):
     activation: Optional[str] = 'ReLU'
     bn_momentum: float = 0.9
     bn_epsilon: float = 1e-5
+    kernel_init: Optional[Callable] = None  # None = flax default
     axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
 
@@ -107,10 +112,12 @@ class DepthwiseConvBn(nn.Module):
         pad = self.padding
         if isinstance(pad, int):
             pad = ((pad, pad), (pad, pad))
+        init_kw = ({'kernel_init': self.kernel_init}
+                   if self.kernel_init is not None else {})
         x = nn.Conv(in_features, (self.kernel_size, self.kernel_size),
                     strides=(self.stride, self.stride), padding=pad,
                     feature_group_count=in_features, use_bias=self.use_bias,
-                    dtype=self.dtype, name='depthwise_conv')(x)
+                    dtype=self.dtype, name='depthwise_conv', **init_kw)(x)
         if self.use_bn:
             x = nn.BatchNorm(use_running_average=not train,
                              momentum=self.bn_momentum, epsilon=self.bn_epsilon,
@@ -119,7 +126,7 @@ class DepthwiseConvBn(nn.Module):
         if self.activation is not None:
             x = ACTIVATIONS[self.activation](x)
         x = nn.Conv(self.features, (1, 1), use_bias=self.use_bias,
-                    dtype=self.dtype, name='pointwise_conv')(x)
+                    dtype=self.dtype, name='pointwise_conv', **init_kw)(x)
         if self.use_bn:
             x = nn.BatchNorm(use_running_average=not train,
                              momentum=self.bn_momentum, epsilon=self.bn_epsilon,

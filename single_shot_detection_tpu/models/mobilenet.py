@@ -13,6 +13,12 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
+# parity: the reference initializes every backbone conv with
+# xavier_uniform + zero bias (mobilenet.py:131-137,
+# mobilenet_v2.py:144-150); flax defaults to lecun_normal, which
+# measurably changes short-run training trajectories
+_xavier_uniform = nn.initializers.glorot_uniform()
+
 from single_shot_detection_tpu.models.layers import tf_same_pad
 
 
@@ -43,10 +49,10 @@ class _SeparableBlock(nn.Module):
 
         x = nn.Conv(x.shape[-1], (3, 3), strides=(self.stride,) * 2,
                     padding=tf_same_pad(3, self.stride),
-                    feature_group_count=x.shape[-1], use_bias=False,
+                    feature_group_count=x.shape[-1], use_bias=False, kernel_init=_xavier_uniform,
                     dtype=self.dtype, name='depthwise_conv')(x)
         x = _relu6(bn('depthwise_bn')(x))
-        x = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+        x = nn.Conv(self.features, (1, 1), use_bias=False, kernel_init=_xavier_uniform, dtype=self.dtype,
                     name='pointwise_conv')(x)
         return _relu6(bn('pointwise_bn')(x))
 
@@ -76,7 +82,7 @@ class MobileNet(nn.Module):
         stages = []
 
         x = nn.Conv(self._width(0, self.depth(32)), (3, 3), strides=(2, 2),
-                    padding=tf_same_pad(3, 2), use_bias=False,
+                    padding=tf_same_pad(3, 2), use_bias=False, kernel_init=_xavier_uniform,
                     dtype=self.dtype, name='stage0_conv')(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          axis_name=self.axis_name if train else None,

@@ -19,6 +19,12 @@ from typing import Any, Dict, Optional, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+# parity: the reference initializes every backbone conv with
+# xavier_uniform + zero bias (mobilenet.py:131-137,
+# mobilenet_v2.py:144-150); flax defaults to lecun_normal, which
+# measurably changes short-run training trajectories
+_xavier_uniform = nn.initializers.glorot_uniform()
+
 from single_shot_detection_tpu.models.layers import tf_same_pad
 
 
@@ -41,7 +47,7 @@ class _ConvBn(nn.Module):
         x = nn.Conv(self.features, (self.kernel_size, self.kernel_size),
                     strides=(self.stride, self.stride),
                     padding=tf_same_pad(self.kernel_size, self.stride),
-                    use_bias=False, dtype=self.dtype, name='conv')(x)
+                    use_bias=False, kernel_init=_xavier_uniform, dtype=self.dtype, name='conv')(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          axis_name=self.axis_name if train else None,
                          dtype=self.dtype, name='bn')(x)
@@ -73,7 +79,7 @@ class InvertedResidual(nn.Module):
         h = x
         # structure follows the expansion ratio; widths may be overridden
         if self.expansion_ratio > 1:
-            h = nn.Conv(inner, (1, 1), use_bias=False, dtype=self.dtype,
+            h = nn.Conv(inner, (1, 1), use_bias=False, kernel_init=_xavier_uniform, dtype=self.dtype,
                         name='expand_conv')(h)
             h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              axis_name=self.axis_name if train else None,
@@ -83,14 +89,14 @@ class InvertedResidual(nn.Module):
 
         h = nn.Conv(inner, (3, 3), strides=(self.stride, self.stride),
                     padding=tf_same_pad(3, self.stride),
-                    feature_group_count=inner, use_bias=False,
+                    feature_group_count=inner, use_bias=False, kernel_init=_xavier_uniform,
                     dtype=self.dtype, name='depthwise_conv')(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          axis_name=self.axis_name if train else None,
                          dtype=self.dtype, name='depthwise_bn')(h)
         h = _relu6(h)
 
-        h = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+        h = nn.Conv(self.features, (1, 1), use_bias=False, kernel_init=_xavier_uniform, dtype=self.dtype,
                     name='project_conv')(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          axis_name=self.axis_name if train else None,

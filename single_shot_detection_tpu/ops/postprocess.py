@@ -36,6 +36,7 @@ class Postprocessor:
                  nms: dict,
                  score_converter: str = 'SOFTMAX',
                  max_total: int = 200,
+                 pre_nms_top_k: int = None,
                  use_pallas: bool = None):
         if score_converter not in ('SOFTMAX', 'SIGMOID'):
             raise ValueError(f'Wrong value for score_converter: {score_converter}')
@@ -47,6 +48,14 @@ class Postprocessor:
         self.sigma = float(nms.get('sigma', 0.5))
         self.score_converter = score_converter
         self.max_total = int(max_total) if max_total is not None else None
+        # Optional candidate pre-selection: keep only the top-N anchors per
+        # image (by best class score) before the per-class top-k/NMS.  Cuts
+        # the C per-class sorts from A anchors to N — the dominant cost for
+        # anchor-heavy configs (RetinaNet: ~49k anchors x 80 classes).  OFF
+        # by default: the reference ranks each class over ALL anchors
+        # (box_utils.py:166-171); with N >= the anchors carrying real scores
+        # (standard practice: 1000) results are identical in practice.
+        self.pre_nms_top_k = int(pre_nms_top_k) if pre_nms_top_k else None
         if use_pallas is None:
             from single_shot_detection_tpu.ops import nms_pallas
             use_pallas = nms_pallas.available() and not self.soft
@@ -63,16 +72,17 @@ class Postprocessor:
                             max_total=self.max_total,
                             soft=self.soft,
                             sigma=self.sigma,
+                            pre_nms_top_k=self.pre_nms_top_k,
                             use_pallas=self.use_pallas)
 
 
 @functools.partial(jax.jit, static_argnames=(
     'xy_scale', 'wh_scale', 'score_threshold', 'overlap_threshold',
     'max_per_class', 'score_converter', 'max_total', 'soft', 'sigma',
-    'use_pallas'))
+    'pre_nms_top_k', 'use_pallas'))
 def _postprocess(scores, locs, anchors, *, xy_scale, wh_scale, score_threshold,
                  overlap_threshold, max_per_class, score_converter, max_total,
-                 soft, sigma, use_pallas=False):
+                 soft, sigma, pre_nms_top_k=None, use_pallas=False):
     from single_shot_detection_tpu.ops.box_coder import BoxCoder
     coder = BoxCoder(xy_scale=xy_scale, wh_scale=wh_scale)
 
@@ -87,6 +97,16 @@ def _postprocess(scores, locs, anchors, *, xy_scale, wh_scale, score_threshold,
     num_classes = probs.shape[-1]
 
     boxes = box_ops.to_corners(coder.decode(locs, anchors))  # [B, A, 4]
+
+    # Optional candidate pre-selection (see Postprocessor.pre_nms_top_k):
+    # ONE top-k over anchors by best-class score replaces C-fold ranking
+    # work downstream.
+    if pre_nms_top_k is not None and pre_nms_top_k < num_anchors:
+        best = jnp.max(probs, axis=-1)                       # [B, A]
+        _, cand = jax.lax.top_k(best, pre_nms_top_k)         # [B, N]
+        probs = jnp.take_along_axis(probs, cand[..., None], axis=1)
+        boxes = jnp.take_along_axis(boxes, cand[..., None], axis=1)
+        num_anchors = pre_nms_top_k
 
     # Per (image, class): score-threshold -> top max_per_class -> NMS.
     k = min(max_per_class, num_anchors)

@@ -215,6 +215,86 @@ for _name, _layers in SE_LAYERS.items():
         se_resnet_mapping, _layers)
 
 
+def mobilenet_v2_reference_mapping() -> Dict[str, Tuple[str, ...]]:
+    """The REFERENCE's custom MobileNetV2 state_dict layout
+    (bf/base/mobilenet_v2.py: ``features.0.{conv,bn}``, inverted-residual
+    blocks ``features.{1..17}.{expand,depthwise,project}_{conv,bn}``,
+    ``features.18.{conv,bn}``) -> our stage names.  Same leaves by design."""
+    m: Dict[str, Tuple[str, ...]] = {
+        'features.0.conv': ('stage0', 'conv'),
+        'features.0.bn': ('stage0', 'bn'),
+        'features.18.conv': ('stage18', 'conv'),
+        'features.18.bn': ('stage18', 'bn'),
+    }
+    for leaf in ('depthwise_conv', 'depthwise_bn',
+                 'project_conv', 'project_bn'):
+        m[f'features.1.{leaf}'] = ('stage1', leaf)
+    for i in range(2, 18):
+        for leaf in ('expand_conv', 'expand_bn', 'depthwise_conv',
+                     'depthwise_bn', 'project_conv', 'project_bn'):
+            m[f'features.{i}.{leaf}'] = (f'stage{i}', leaf)
+    return m
+
+
+def reference_detector_mapping(extras_spec,
+                               num_scales: int,
+                               use_depthwise: bool = False,
+                               backbone_mapping: Dict[str, Tuple[str, ...]] = None,
+                               ) -> Dict[str, Tuple[str, ...]]:
+    """FULL-detector mapping for a reference training checkpoint
+    (``model_dict`` of detection/detector.py's Detector): backbone +
+    SSD extras + score/loc heads.  Lets a reference-trained model be
+    imported and served/fine-tuned by this framework.
+
+    Reference layout: ``predictor.features.base.<backbone>``,
+    ``predictor.extras.{j}.{0,1}.<Conv2dBn|DepthwiseConv2dBn leaves>``
+    (detector_builder.py:57-109), ``predictor.heads.{i}.{score,loc}``
+    (detector_builder.py:111-137).
+    """
+    if backbone_mapping is None:
+        backbone_mapping = mobilenet_v2_reference_mapping()
+    m: Dict[str, Tuple[str, ...]] = {}
+    for k, path in backbone_mapping.items():
+        # the reference's Features copies the backbone's ``features``
+        # Sequential as its own ``base`` (features.py:18-44), so checkpoint
+        # keys read ``predictor.features.base.{i}...`` without a second
+        # ``features`` level
+        k = k[len('features.'):] if k.startswith('features.') else k
+        m[f'predictor.features.base.{k}'] = ('features', 'base') + tuple(path)
+    for j, (type_, _out) in enumerate(extras_spec):
+        if type_ == 'm':  # maxpool — no params
+            continue
+        m[f'predictor.extras.{j}.0.conv'] = (f'extra{j}', 'reduce', 'conv')
+        m[f'predictor.extras.{j}.0.bn'] = (f'extra{j}', 'reduce', 'bn')
+        if use_depthwise:
+            for leaf in ('depthwise_conv', 'depthwise_bn',
+                         'pointwise_conv', 'pointwise_bn'):
+                m[f'predictor.extras.{j}.1.{leaf}'] = (f'extra{j}', 'expand',
+                                                       leaf)
+        else:
+            m[f'predictor.extras.{j}.1.conv'] = (f'extra{j}', 'expand', 'conv')
+            m[f'predictor.extras.{j}.1.bn'] = (f'extra{j}', 'expand', 'bn')
+    for i in range(num_scales):
+        m[f'predictor.heads.{i}.score'] = (f'score_head{i}',)
+        m[f'predictor.heads.{i}.loc'] = (f'loc_head{i}',)
+    return m
+
+
+def import_reference_checkpoint(path: str,
+                                variables: dict,
+                                extras_spec,
+                                num_scales: int,
+                                use_depthwise: bool = False) -> dict:
+    """Load a reference training checkpoint (``ckpt-N.pt`` from
+    /root/reference main.py — pickled global_state with ``model_dict``)
+    into our detector variables."""
+    mapping = reference_detector_mapping(extras_spec, num_scales,
+                                         use_depthwise)
+    sd = load_torch_state_dict(path)
+    return import_backbone(sd, variables, 'reference_detector',
+                           base_path=(), mapping=mapping)
+
+
 def resolve_mapping(backbone_name: str) -> Dict[str, Tuple[str, ...]]:
     """torch state_dict prefix -> our param path, for any registry backbone."""
     if backbone_name.startswith('torchvision_vgg'):

@@ -503,3 +503,40 @@ def test_checkpoint_key_migration(tmp_path):
     # without rules the stale checkpoint must fail loudly, not silently
     with pytest.raises(Exception):
         ckpt.restore(path, template, rules=[])
+
+
+def test_transient_backend_failure_continues(tmp_path):
+    """A transient relay/backend error mid-epoch checkpoints and continues
+    with the next epoch instead of killing the run; a non-transient error
+    still propagates."""
+    cfg = load_config(SMOKE)
+    cfg.config.train['epochs'] = 3
+    cfg.config.train['eval_every'] = 99
+    exp = Experiment(cfg, phases=['train'], checkpoint_dir=str(tmp_path),
+                     debug=False)
+    exp.save_every = 99
+
+    real = exp._epoch_batches
+    calls = {'n': 0}
+
+    def flaky(loader, num_batches, epoch):
+        calls['n'] += 1
+        if calls['n'] == 2:  # epoch 1 dies mid-flight
+            raise jax.errors.JaxRuntimeError(
+                'INVALID_ARGUMENT: fake relay transfer failure')
+        return real(loader, num_batches, epoch)
+
+    exp._epoch_batches = flaky
+    rows = exp.train()
+    assert [r['epoch'] for r in rows] == [0, 2]  # epoch 1 skipped, run lived
+    assert any(f.startswith('ckpt-') for f in os.listdir(tmp_path))
+
+    # non-transient errors must propagate
+    exp2 = Experiment(load_config(SMOKE), phases=['train'], debug=True)
+
+    def broken(loader, num_batches, epoch):
+        raise jax.errors.JaxRuntimeError('XLA compilation failure: bad shape')
+
+    exp2._epoch_batches = broken
+    with pytest.raises(jax.errors.JaxRuntimeError):
+        exp2.train()

@@ -73,3 +73,38 @@ def test_postprocess_nms_suppresses_duplicates():
     pp = make_postprocessor(max_total=5)
     dets, valid = pp(scores, locs, priors)
     assert np.asarray(valid)[0].sum() == 1
+
+
+def test_pre_nms_top_k_equivalence():
+    """With pre_nms_top_k >= the number of anchors carrying real scores the
+    candidate pre-selection is lossless: identical detections/validity."""
+    import jax
+    import jax.numpy as jnp
+
+    from single_shot_detection_tpu.ops.box_coder import BoxCoder
+    from single_shot_detection_tpu.ops.postprocess import Postprocessor
+
+    rng = np.random.RandomState(7)
+    B, A, C = 2, 400, 6
+    anchors = np.stack([rng.uniform(20, 280, A), rng.uniform(20, 280, A),
+                        rng.uniform(20, 60, A), rng.uniform(20, 60, A)],
+                       axis=-1).astype(np.float32)
+    # few strong detections, everything else far below threshold
+    scores = np.full((B, A, C), -9.0, np.float32)
+    for b in range(B):
+        for a in rng.choice(A, 24, replace=False):
+            scores[b, a, rng.randint(1, C)] = rng.uniform(1.0, 6.0)
+    locs = rng.randn(B, A, 4).astype(np.float32) * 0.1
+
+    coder = BoxCoder(10.0, 5.0)
+    kw = dict(box_coder=coder, score_threshold=0.1,
+              nms={'max_per_class': 10, 'overlap_threshold': 0.5},
+              score_converter='SOFTMAX', max_total=20, use_pallas=False)
+    exact = Postprocessor(**kw)
+    fast = Postprocessor(pre_nms_top_k=64, **kw)
+
+    d0, v0 = exact(jnp.asarray(scores), jnp.asarray(locs), jnp.asarray(anchors))
+    d1, v1 = fast(jnp.asarray(scores), jnp.asarray(locs), jnp.asarray(anchors))
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+    np.testing.assert_allclose(np.asarray(d0)[np.asarray(v0)],
+                               np.asarray(d1)[np.asarray(v1)], atol=1e-5)
