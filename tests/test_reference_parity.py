@@ -29,7 +29,19 @@ import types
 if 'torchvision' not in sys.modules:
     tv = types.ModuleType('torchvision')
     tv.ops = types.SimpleNamespace(nms=None)
+    tv_models = types.ModuleType('torchvision.models')
+    for _n in ('mobilenet_v2', 'resnet18', 'resnet34', 'resnet50',
+               'resnet101', 'resnet152', 'resnext50_32x4d',
+               'resnext101_32x8d', 'shufflenet_v2_x0_5',
+               'shufflenet_v2_x1_0', 'shufflenet_v2_x1_5',
+               'shufflenet_v2_x2_0', 'vgg11', 'vgg11_bn', 'vgg13',
+               'vgg13_bn', 'vgg16', 'vgg16_bn', 'vgg19', 'vgg19_bn'):
+        setattr(tv_models, _n, None)  # name must exist for from-imports
+    tv_models.ResNet = type('ResNet', (), {})
+    tv_models.ShuffleNetV2 = type('ShuffleNetV2', (), {})
+    tv.models = tv_models
     sys.modules['torchvision'] = tv
+    sys.modules['torchvision.models'] = tv_models
 if 'jpeg4py' not in sys.modules:
     j4p = types.ModuleType('jpeg4py')
     j4p.JPEG = None  # only touched when actually decoding images
@@ -365,3 +377,118 @@ def test_mobilenet_v1_import_forward_parity(rng):
     expected = expected.transpose(0, 2, 3, 1)
     assert got.shape == expected.shape
     np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-4)
+
+
+def test_mobilenet_v2_reference_import_forward_parity(rng):
+    """The reference's CUSTOM MobileNetV2 (bf/base/mobilenet_v2.py) with
+    randomized weights vs our flax MobileNetV2 fed the same weights through
+    mobilenet_v2_reference_mapping — the backbone half of the reference-
+    checkpoint importer."""
+    ref_mod = _import_ref('bf.base.mobilenet_v2')
+    import jax
+    from single_shot_detection_tpu.models.mobilenet_v2 import MobileNetV2
+    from single_shot_detection_tpu.utils import torch_import
+
+    ref = ref_mod.MobileNetV2(include_top=False, init_weights=True)
+    sd = ref.state_dict()
+    gen = np.random.RandomState(11)
+    for k, v in sd.items():
+        if k.endswith('running_var'):
+            sd[k] = torch.from_numpy(
+                gen.rand(*v.shape).astype(np.float32) + 0.5)
+        elif k.endswith('num_batches_tracked'):
+            continue
+        else:
+            sd[k] = torch.from_numpy(
+                gen.randn(*v.shape).astype(np.float32) * 0.1)
+    ref.load_state_dict(sd)
+    ref.eval()
+
+    ours = MobileNetV2()
+    x = rng.rand(1, 64, 64, 3).astype(np.float32)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    mapping = torch_import.mobilenet_v2_reference_mapping()
+    new_vars = torch_import.import_backbone(
+        {k: v for k, v in sd.items()}, variables, 'reference_mbv2',
+        base_path=(), mapping=mapping)
+
+    stages, _ = ours.apply(new_vars, jnp.asarray(x), train=False)
+    with torch.no_grad():
+        expected = ref.features(
+            torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(stages[-1])
+    np.testing.assert_allclose(got, expected.transpose(0, 2, 3, 1),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_reference_detector_checkpoint_import_layout(rng, tmp_path):
+    """Full-detector checkpoint import: a reference-layout state_dict
+    (predictor.features.base / predictor.extras / predictor.heads —
+    the layout of a real main.py training checkpoint) fills backbone,
+    extras AND heads of our assembled detector.  The real-weights version
+    of this ran against an actual reference training checkpoint and
+    reproduced its mAP to 0.003 (PARITY.md)."""
+    import jax
+    from single_shot_detection_tpu.models import builder
+    from single_shot_detection_tpu.utils import torch_import
+
+    extras_spec = (('s', 128),)
+    bundle = builder.build(
+        base={'name': 'mobilenet_v2', 'depth_multiplier': 0.35},
+        anchor_generator={'type': 'ssd', 'num_scales': 3, 'min_scale': 0.15,
+                          'max_scale': 0.95, 'aspect_ratios': [[1.0, 2.0]] * 3},
+        num_classes=5, use_depthwise=True,
+        features={'name': 'Features', 'out_layers': (13, 18)},
+        extras={'layers': extras_spec}, input_size=(96, 96))
+    variables = bundle.init(jax.random.PRNGKey(0))
+    mapping = torch_import.reference_detector_mapping(
+        extras_spec, num_scales=3, use_depthwise=True)
+
+    params = variables['params']
+    gen = np.random.RandomState(3)
+    sd = {}
+    for torch_prefix, path in mapping.items():
+        node = params
+        ok = True
+        for k in path:
+            if k not in node:
+                ok = False
+                break
+            node = node[k]
+        if not ok:
+            continue
+        if 'scale' in node:
+            c = node['scale'].shape[0]
+            for suffix, arr in (('weight', gen.randn(c)),
+                                ('bias', gen.randn(c)),
+                                ('running_mean', gen.randn(c)),
+                                ('running_var', np.abs(gen.randn(c)) + 0.5)):
+                sd[f'{torch_prefix}.{suffix}'] = torch.from_numpy(
+                    arr.astype(np.float32))
+        elif 'kernel' in node:
+            kh, kw, cin, cout = node['kernel'].shape
+            sd[f'{torch_prefix}.weight'] = torch.from_numpy(
+                gen.randn(cout, cin, kh, kw).astype(np.float32))
+            if 'bias' in node:
+                sd[f'{torch_prefix}.bias'] = torch.from_numpy(
+                    gen.randn(node['bias'].shape[0]).astype(np.float32))
+    assert any(k.startswith('predictor.extras') for k in sd)
+    assert any(k.startswith('predictor.heads') for k in sd)
+
+    ckpt = tmp_path / 'ckpt-5.pt'
+    torch.save({'model_dict': sd, 'epoch': 1, 'global_step': 5}, str(ckpt))
+    new_vars = torch_import.import_reference_checkpoint(
+        str(ckpt), variables, extras_spec=extras_spec, num_scales=3,
+        use_depthwise=True)
+
+    # heads and extras landed, converted to flax layout
+    head_k = new_vars['params']['score_head0']['kernel']
+    expected = sd['predictor.heads.0.score.weight'].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_array_equal(np.asarray(head_k), expected)
+    ex_k = new_vars['params']['extra0']['reduce']['conv']['kernel']
+    expected = sd['predictor.extras.0.0.conv.weight'].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_array_equal(np.asarray(ex_k), expected)
+    scores, locs = bundle.module.apply(
+        {'params': new_vars['params'], 'batch_stats': new_vars['batch_stats']},
+        jnp.ones((1, 96, 96, 3)), train=False)
+    assert np.isfinite(np.asarray(scores)).all()
