@@ -280,16 +280,40 @@ def reference_detector_mapping(extras_spec,
     return m
 
 
+def reference_backbone_mapping(backbone: str) -> Dict[str, Tuple[str, ...]]:
+    """Backbone half of a reference checkpoint, by reference registry name.
+
+    Supported: the custom MobileNets (their own torch layouts) and the
+    torchvision VGGs (the reference's Features copies ``<backbone>.features``
+    children directly, so checkpoint keys are the same indices minus the
+    ``features.`` prefix).  ResNet-family reference checkpoints re-wrap the
+    backbone into an index-keyed Sequential (base_builder.py:10-26) and are
+    not mapped yet.
+    """
+    if backbone.startswith('mobilenet_v2'):
+        return mobilenet_v2_reference_mapping()
+    if backbone.startswith(('mobilenet_v1', 'mobilenet_')):
+        return mobilenet_v1_mapping()
+    if 'vgg' in backbone:
+        from single_shot_detection_tpu.models.vgg import VGG_CONFIGS
+        depth = int(''.join(ch for ch in backbone if ch.isdigit()))
+        return vgg_mapping(VGG_CONFIGS[depth], bn=backbone.endswith('_bn'))
+    raise KeyError(f'No reference-checkpoint mapping for backbone '
+                   f'{backbone!r} (supported: mobilenet v1/v2, vgg)')
+
+
 def import_reference_checkpoint(path: str,
                                 variables: dict,
                                 extras_spec,
                                 num_scales: int,
-                                use_depthwise: bool = False) -> dict:
+                                use_depthwise: bool = False,
+                                backbone: str = 'mobilenet_v2') -> dict:
     """Load a reference training checkpoint (``ckpt-N.pt`` from
     /root/reference main.py — pickled global_state with ``model_dict``)
     into our detector variables."""
-    mapping = reference_detector_mapping(extras_spec, num_scales,
-                                         use_depthwise)
+    mapping = reference_detector_mapping(
+        extras_spec, num_scales, use_depthwise,
+        backbone_mapping=reference_backbone_mapping(backbone))
     sd = load_torch_state_dict(path)
     return import_backbone(sd, variables, 'reference_detector',
                            base_path=(), mapping=mapping)

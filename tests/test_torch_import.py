@@ -284,3 +284,25 @@ def test_mobilenet_v1_mapping_shapes(rng):
     np.testing.assert_array_equal(np.asarray(k), expected)
     stages, _ = model.apply(new_vars, jnp.asarray(x), train=False)
     assert np.isfinite(np.asarray(stages[-1])).all()
+
+
+def test_reference_detector_mapping_vgg_and_mbv1():
+    """Reference-checkpoint mappings for non-mbv2 backbones: the Features
+    neck copies backbone.features children, so keys lose the 'features.'
+    prefix; extras/heads are backbone-independent."""
+    m = torch_import.reference_detector_mapping(
+        (('s', 512), ('s', 256)), num_scales=6, use_depthwise=False,
+        backbone_mapping=torch_import.reference_backbone_mapping('torchvision_vgg16_bn'))
+    # torchvision vgg16_bn: conv0 at features.0, bn0 at features.1
+    assert m['predictor.features.base.0'] == ('features', 'base', 'conv0')
+    assert m['predictor.features.base.1'] == ('features', 'base', 'bn0')
+    assert m['predictor.extras.1.0.conv'] == ('extra1', 'reduce', 'conv')
+    assert m['predictor.heads.5.loc'] == ('loc_head5',)
+
+    m1 = torch_import.reference_detector_mapping(
+        (), num_scales=2, use_depthwise=True,
+        backbone_mapping=torch_import.reference_backbone_mapping('mobilenet_10'))
+    assert m1['predictor.features.base.0.conv'] == \
+        ('features', 'base', 'stage0_conv')
+    assert m1['predictor.features.base.7.pointwise_conv'] == \
+        ('features', 'base', 'stage7', 'pointwise_conv')
