@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from benchmarks._util import retry as _retry
+
 REFERENCE_GPU_IMG_S = 120.0  # estimated reference GPU e2e throughput (see docstring)
 
 BATCH = 32
@@ -150,20 +152,6 @@ def bench_end_to_end(bf16):
         'median': rates[len(rates) // 2],
         'best': rates[-1],
     }
-
-
-def _retry(fn, *args, attempts=3, **kwargs):
-    """The remote-TPU relay intermittently fails device transfers with
-    'TPU backend error (InvalidArgument)' (see docs/PERF.md); retry a
-    transient failure instead of voiding the whole benchmark run."""
-    for i in range(attempts):
-        try:
-            return fn(*args, **kwargs)
-        except jax.errors.JaxRuntimeError as exc:
-            if i == attempts - 1:
-                raise
-            print(f'transient backend error ({exc}); retrying', flush=True)
-            time.sleep(5)
 
 
 def main():

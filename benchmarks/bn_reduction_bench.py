@@ -58,20 +58,46 @@ def time_step(batch, dtype=jnp.bfloat16):
     return batch * STEPS / elapsed
 
 
-def main():
-    from flax.linen import BatchNorm
+def _patch_stat_reductions(force_f32: bool):
+    """Force the stat-reduction dtype for every BatchNorm.
 
+    NOTE: assigning ``BatchNorm.force_float32_reductions`` is a silent
+    no-op — flax modules are dataclasses and the field default is baked
+    into the generated ``__init__`` at class-creation time.  Patch the
+    shared ``_compute_stats`` helper instead, and VERIFY the patch took.
+    """
+    from flax.linen import normalization as nm
+    orig = nm.__dict__.get('_orig_compute_stats', nm._compute_stats)
+    nm._orig_compute_stats = orig
+
+    def patched(*args, **kw):
+        kw.pop('force_float32_reductions', None)
+        return orig(*args, **kw, force_float32_reductions=force_f32)
+
+    nm._compute_stats = patched if not force_f32 else orig
+
+    # prove the patch is live: [1, 2^-9] are both exactly representable in
+    # bf16, but their MEAN is only exact under f32 accumulation — the bf16
+    # reduction rounds 1 + 2^-9 back to 1.0
+    x = jnp.asarray([1.0, 2.0 ** -9], jnp.bfloat16)
+    mean, _ = nm._compute_stats(x, (0,), jnp.bfloat16)
+    got_f32_path = abs(float(mean) - (1.0 + 2.0 ** -9) / 2.0) < 1e-6
+    assert got_f32_path == force_f32, (
+        f'stat-reduction patch ineffective: mean={float(mean)}')
+
+
+def main():
     rows = []
-    for label, patch in (('baseline_f32_stats', True),
-                         ('bf16_stat_reductions', False)):
-        BatchNorm.force_float32_reductions = patch
+    for label, force_f32 in (('baseline_f32_stats', True),
+                             ('bf16_stat_reductions', False)):
+        _patch_stat_reductions(force_f32)
         for batch in (32, 128):
             img_s = time_step(batch)
             rows.append({'variant': label, 'batch': batch,
                          'img_s': round(img_s, 1),
                          'ms_per_step': round(1000.0 * batch / img_s, 2)})
             print(json.dumps(rows[-1]), flush=True)
-    BatchNorm.force_float32_reductions = True
+    _patch_stat_reductions(True)
 
     print('\nvariant                      batch   img/s   ms/step')
     for r in rows:

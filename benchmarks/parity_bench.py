@@ -31,6 +31,8 @@ import numpy as np
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
+from benchmarks._util import retry as _retry  # noqa: E402 (needs ROOT)
+
 PARITY = [
     # (config file, reference batch size)
     ('ssd_mb2_voc.py', 32),
@@ -99,17 +101,6 @@ def synth_batch(batch, img_hw, num_classes, max_gt=8, seed=0):
             mask[b, i] = True
     return {'image': jnp.asarray(rng.rand(batch, h, w, 3).astype(np.float32)),
             'boxes': jnp.asarray(boxes), 'box_mask': jnp.asarray(mask)}
-
-
-def _retry(fn, *args, attempts=3, **kwargs):
-    for i in range(attempts):
-        try:
-            return fn(*args, **kwargs)
-        except jax.errors.JaxRuntimeError as exc:
-            if i == attempts - 1:
-                raise
-            print(f'transient backend error ({exc}); retrying', flush=True)
-            time.sleep(5)
 
 
 def bench_config(name, batch, dtype, steps):

@@ -423,13 +423,21 @@ def _apply_photo(kind, kw, key, img):
 def _apply_stage(kind, kw, key, img, state):
     """Apply one transform to the ``(staged image, window/box state)`` pair.
 
-    Photometric kinds update the staged image (pointwise ops commute with
-    the final resample up to bilinear interpolation, so applying them on
-    the staged image preserves the reference's per-position semantics);
-    geometric kinds update the window/box state; ``oneof`` evaluates every
-    branch — photometric, geometric, or nested ``oneof`` alike (parity:
-    the reference's OneOf accepts any transform, transforms.py:19-25) —
-    and selects one uniformly via ``jnp.select`` over both carriers.
+    Photometric kinds update the staged image; geometric kinds update the
+    window/box state; ``oneof`` evaluates every branch — photometric,
+    geometric, or nested ``oneof`` alike (parity: the reference's OneOf
+    accepts any transform, transforms.py:19-25) — and selects one uniformly
+    via ``jnp.select`` over both carriers.
+
+    Per-position semantics caveat: brightness/hue-saturation are pointwise,
+    so applying them to the staged image commutes with the final resample
+    (up to bilinear interpolation) regardless of where they sit in the
+    chain.  ``RandomAdjustContrast`` is NOT pointwise — its anchor is the
+    image mean — so when it appears AFTER a geometric transform its mean is
+    taken over the full staged image rather than the cropped/expanded view
+    the reference would use.  Shipped reference configs always order
+    photometric before geometric (samples/*.py), where the semantics match
+    exactly.
     """
     if kind in PHOTOMETRIC_KINDS:
         return _apply_photo(kind, kw, key, img), state

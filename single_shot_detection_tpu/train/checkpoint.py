@@ -113,6 +113,12 @@ def migrate_state_dict(raw: dict, template_dict: dict, rules=None) -> dict:
             migrated, n = re.subn(pattern, repl, joined)
             if n:
                 new_path = tuple(migrated.split('/'))
+                if new_path in out or new_path in flat:
+                    # a rewrite landing on an existing key would silently
+                    # drop a tensor — bad rules must fail loudly
+                    raise ValueError(
+                        f'checkpoint migration collision: {joined} -> '
+                        f'{migrated} (target already present)')
                 logging.info(f'>> checkpoint migration: {joined} -> '
                              f'{migrated}')
                 out[new_path] = value

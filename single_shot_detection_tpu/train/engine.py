@@ -45,16 +45,24 @@ from single_shot_detection_tpu.train.step import (make_eval_step,
 from single_shot_detection_tpu.utils.misc import filter_kwargs
 
 
-_TRANSIENT_MARKERS = ('INVALID_ARGUMENT', 'InvalidArgument', 'UNAVAILABLE',
-                      'DEADLINE_EXCEEDED', 'transfer')
+_TRANSIENT_MARKERS = ('UNAVAILABLE', 'DEADLINE_EXCEEDED', 'transfer')
+# XLA also reports some genuinely fatal program errors as INVALID_ARGUMENT,
+# so that class is only believed to be transient once training has proven
+# the program runs (see _is_transient's had_success flag)
+_AMBIGUOUS_MARKERS = ('INVALID_ARGUMENT', 'InvalidArgument')
 
 
-def _is_transient(exc) -> bool:
+def _is_transient(exc, had_success: bool = False) -> bool:
     """Relay-attached TPUs intermittently fail device transfers with
     retryable backend errors (docs/PERF.md); compile/shape errors are not
-    retryable and must propagate."""
+    retryable and must propagate.  ``had_success``: at least one epoch of
+    this program already ran — required before an INVALID_ARGUMENT-class
+    error (which XLA also uses for deterministic program bugs) is treated
+    as a flaky transfer."""
     msg = str(exc)
-    return any(m in msg for m in _TRANSIENT_MARKERS)
+    if any(m in msg for m in _TRANSIENT_MARKERS):
+        return True
+    return had_success and any(m in msg for m in _AMBIGUOUS_MARKERS)
 
 
 def create_datasets(dataset_cfg: dict, phases) -> dict:
@@ -422,10 +430,23 @@ class Experiment:
                 row, count = self._epoch_batches(loader, num_batches, epoch)
             except jax.errors.JaxRuntimeError as exc:
                 # relay-attached TPUs intermittently fail transfers; a long
-                # run should checkpoint and move on, not die (round-2
-                # verdict weakness: retry-only handling)
-                if not _is_transient(exc) or self._transient_budget <= 0:
+                # SINGLE-PROCESS run should checkpoint and move on, not die
+                # (round-2 verdict weakness: retry-only handling).  Under
+                # multi-host SPMD one process skipping an epoch would desync
+                # the collectives across ranks — propagate instead.
+                had_success = epoch > self.start_epoch
+                if (self.process_count > 1
+                        or not _is_transient(exc, had_success)
+                        or self._transient_budget <= 0):
                     raise
+                # a failed step may have poisoned the (donated) state
+                # buffers — probe before trusting it for another epoch
+                try:
+                    jax.block_until_ready(self.state.step)
+                except Exception:
+                    logging.warning('WW training state unusable after the '
+                                    'backend failure; re-raising')
+                    raise exc
                 self._transient_budget -= 1
                 logging.warning(
                     f'WW transient backend failure mid-epoch {epoch}: '
@@ -433,7 +454,12 @@ class Experiment:
                     f'the next epoch ({self._transient_budget} retries left)')
                 if (self.checkpoint_dir and not self.debug
                         and self.process_index == 0):
-                    ckpt.save(self.checkpoint_dir, self.state, epoch)
+                    try:
+                        ckpt.save(self.checkpoint_dir, self.state, epoch)
+                    except Exception as save_exc:
+                        logging.warning('WW emergency checkpoint failed '
+                                        f'({save_exc}); re-raising')
+                        raise exc
                 continue
 
             elapsed = time.time() - start

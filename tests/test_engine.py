@@ -540,3 +540,15 @@ def test_transient_backend_failure_continues(tmp_path):
     exp2._epoch_batches = broken
     with pytest.raises(jax.errors.JaxRuntimeError):
         exp2.train()
+
+    # INVALID_ARGUMENT on the FIRST epoch is ambiguous (XLA uses it for
+    # deterministic program bugs too) and must propagate, not be skipped
+    exp3 = Experiment(load_config(SMOKE), phases=['train'], debug=True)
+
+    def first_epoch_invalid(loader, num_batches, epoch):
+        raise jax.errors.JaxRuntimeError('INVALID_ARGUMENT: parameter '
+                                         'size mismatch')
+
+    exp3._epoch_batches = first_epoch_invalid
+    with pytest.raises(jax.errors.JaxRuntimeError):
+        exp3.train()

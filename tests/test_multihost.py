@@ -119,17 +119,28 @@ def test_two_process_cpu_cluster_matches_single_process(tmp_path):
 
     procs = []
     outs = [tmp_path / f'out{r}.json' for r in range(2)]
-    for r in range(2):
-        procs.append(subprocess.Popen(
-            [sys.executable, str(worker), f'127.0.0.1:{port}', str(r),
-             str(cfg_multi), str(outs[r])],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
-    logs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=800)
-        logs.append(out.decode(errors='replace'))
+    log_paths = [tmp_path / f'rank{r}.log' for r in range(2)]
+    # worker stdout goes to FILES, not pipes: with two interdependent SPMD
+    # processes, draining pipes one at a time can deadlock when the
+    # unread process fills its pipe buffer mid-collective
+    log_files = [open(p, 'w') for p in log_paths]
+    try:
+        for r in range(2):
+            procs.append(subprocess.Popen(
+                [sys.executable, str(worker), f'127.0.0.1:{port}', str(r),
+                 str(cfg_multi), str(outs[r])],
+                env=env, stdout=log_files[r], stderr=subprocess.STDOUT))
+        for p in procs:
+            p.wait(timeout=800)
+    finally:
+        for f in log_files:
+            f.close()
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     for r, p in enumerate(procs):
-        assert p.returncode == 0, f'rank {r} failed:\n{logs[r][-4000:]}'
+        assert p.returncode == 0, (
+            f'rank {r} failed:\n{log_paths[r].read_text()[-4000:]}')
 
     results = [json.loads(o.read_text()) for o in outs]
     # both ranks run the same collective program: identical outcomes

@@ -258,6 +258,12 @@ _ORDERINGS = [
         _HFLIP, _EXPAND, {'name': 'RandomCrop', 'args': {'min_iou': .1}},
         {'name': 'Identity'}]}},
      _HFLIP],
+    [{'name': 'OneOf', 'args': {'transforms': [    # NESTED OneOf
+        {'name': 'OneOf', 'args': {'transforms': [_HFLIP, _VFLIP]}},
+        _CROP_ONEOF,
+        _BRIGHT,
+        {'name': 'Identity'}]}},
+     _EXPAND],
 ]
 
 
