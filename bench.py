@@ -35,6 +35,7 @@ from benchmarks._util import retry as _retry
 REFERENCE_GPU_IMG_S = 120.0  # estimated reference GPU e2e throughput (see docstring)
 
 BATCH = 32
+BATCH_LARGE = 128  # the amortization point: ~1.7x per-image efficiency
 IMG = 300
 STEPS = 20
 E2E_IMAGES = 256          # images per epoch in the staged dataset
@@ -43,10 +44,10 @@ E2E_EPOCHS = 3            # timed epochs (after one warmup/compile epoch)
 VOC_LABELS = ['background'] + [f'class_{i}' for i in range(1, 21)]
 
 
-def bench_device_step(dtype):
+def bench_device_step(dtype, batch_size=BATCH):
     """Jitted train step on a pre-staged device batch (round-1 metric)."""
-    print('bench: device-step phase (first compile through the relay can '
-          'take minutes)...', flush=True)
+    print(f'bench: device-step phase (batch {batch_size}; first compile '
+          'through the relay can take minutes)...', flush=True)
     import __graft_entry__ as ge
     from single_shot_detection_tpu.train import (create_train_state,
                                                  make_train_step)
@@ -60,9 +61,9 @@ def bench_device_step(dtype):
                            donate=True)
 
     rng = np.random.RandomState(0)
-    boxes = np.zeros((BATCH, 8, 6), np.float32)
-    mask = np.zeros((BATCH, 8), bool)
-    for b in range(BATCH):
+    boxes = np.zeros((batch_size, 8, 6), np.float32)
+    mask = np.zeros((batch_size, 8), bool)
+    for b in range(batch_size):
         n = rng.randint(1, 6)
         for i in range(n):
             cx, cy = rng.rand(2) * 200 + 50
@@ -70,7 +71,8 @@ def bench_device_step(dtype):
             boxes[b, i] = [cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2,
                            rng.randint(1, 21), 1.0]
             mask[b, i] = True
-    batch = {'image': jnp.asarray(rng.rand(BATCH, IMG, IMG, 3).astype(np.float32)),
+    batch = {'image': jnp.asarray(
+                 rng.rand(batch_size, IMG, IMG, 3).astype(np.float32)),
              'boxes': jnp.asarray(boxes), 'box_mask': jnp.asarray(mask)}
 
     key = jax.random.PRNGKey(1)
@@ -86,7 +88,7 @@ def bench_device_step(dtype):
             state, metrics = step(state, batch, jax.random.fold_in(key, i))
         jax.block_until_ready(metrics['loss'])
         elapsed = time.perf_counter() - t0
-    return BATCH * STEPS / elapsed
+    return batch_size * STEPS / elapsed
 
 
 def stage_jpeg_dataset(root):
@@ -160,6 +162,8 @@ def main():
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
     device_step = _retry(bench_device_step, dtype)
+    device_step_b128 = _retry(bench_device_step, dtype,
+                              batch_size=BATCH_LARGE)
     e2e = _retry(bench_end_to_end, bf16=on_tpu)
 
     # BASELINE.json's stated metric is images/sec/chip: the headline `value`
@@ -177,6 +181,7 @@ def main():
         'vs_baseline': round(device_step / REFERENCE_GPU_IMG_S, 3),
         'baseline_basis': 'estimate (reference publishes no numbers)',
         'device_step_img_s': round(device_step, 2),
+        'device_step_img_s_b128': round(device_step_b128, 2),
         'end_to_end_img_s': round(e2e['median'], 2),
         'end_to_end_img_s_mean': round(e2e['mean'], 2),
         'end_to_end_img_s_best': round(e2e['best'], 2),
