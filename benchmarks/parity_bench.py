@@ -42,6 +42,16 @@ PARITY = [
     ('m2det_512_vgg16_coco.py', 8),
 ]
 
+# The reference batch sizes are GPU-memory artifacts.  On TPU the activation
+# layout tiles the batch dim into 8-wide sublanes, so a batch of 12 pads to
+# 16 and wastes 25% of every activation pass; re-measuring the misaligned
+# configs at the tile-aligned batch is the honest TPU number
+# (measured: ssd_512_vgg16 122 -> 160 img/s, retina 180 -> 231; docs/PERF.md).
+ALIGNED = {
+    'ssd_512_vgg16_coco.py': 16,
+    'retina_rn50_500_coco.py': 16,
+}
+
 
 def build_from_config(path, dtype):
     """Assemble bundle + criterion + assigner + tx + postprocessor from a
@@ -173,6 +183,8 @@ def main():
     ap.add_argument('--steps', type=int, default=10)
     ap.add_argument('--configs', default=None,
                     help='comma-separated subset of config file names')
+    ap.add_argument('--no-aligned', action='store_true',
+                    help='skip the extra tile-aligned-batch rows (ALIGNED)')
     args = ap.parse_args()
     dtype = jnp.bfloat16 if args.dtype == 'bf16' else jnp.float32
 
@@ -181,6 +193,9 @@ def main():
         if args.configs and name.replace('.py', '') not in args.configs:
             continue
         rows.append(_retry(bench_config, name, batch, dtype, args.steps))
+        if name in ALIGNED and not args.no_aligned:
+            rows.append(_retry(bench_config, name, ALIGNED[name], dtype,
+                               args.steps))
 
     print('\nconfig                      batch  train img/s   ms/step  infer img/s')
     for r in rows:

@@ -1,0 +1,158 @@
+"""Profile a parity config's jitted train step and aggregate device op time.
+
+Captures a ``jax.profiler.trace`` of N steps, parses the Chrome-trace JSON
+the TPU runtime emits (``trace.json.gz``), and aggregates device-stream op
+durations by fusion family — the tooling behind docs/PERF.md's step
+decompositions (the reference has no profiling integration at all,
+SURVEY.md §5).
+
+Usage:
+  python benchmarks/profile_step.py --config ssd_300_vgg16_voc --batch 16
+  python benchmarks/profile_step.py --config ssd_mb2_voc --batch 32 --top 25
+"""
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+import tempfile
+import time
+
+import jax
+import jax.numpy as jnp
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, 'benchmarks'))
+
+
+def capture(config, batch, dtype, steps, profile_dir):
+    from parity_bench import build_from_config, synth_batch
+    from single_shot_detection_tpu.train import (create_train_state,
+                                                 make_train_step)
+
+    path = os.path.join(ROOT, 'samples', config + '.py')
+    cfg, bundle, criterion, assigner, _, tx = build_from_config(path, dtype)
+    anchors = bundle.anchors()
+    state = create_train_state(bundle.init(jax.random.PRNGKey(0)), tx)
+    step = make_train_step(bundle.module, criterion, assigner, anchors, tx,
+                           donate=True)
+    b = synth_batch(batch, tuple(cfg.input_size), bundle.num_classes)
+    key = jax.random.PRNGKey(1)
+
+    state, m = step(state, b, key)
+    jax.block_until_ready(m['loss'])
+    for i in range(3):  # post-compile warmup (relay slow path)
+        state, m = step(state, b, jax.random.fold_in(key, i))
+    jax.block_until_ready(m['loss'])
+
+    with jax.profiler.trace(profile_dir):
+        for i in range(steps):
+            state, m = step(state, b, jax.random.fold_in(key, 100 + i))
+        jax.block_until_ready(m['loss'])
+
+
+FAMILY_RULES = [
+    ('convolution', 'convolution (MXU)'),
+    ('convert_reduce', 'convert+reduce (BN/grad reductions)'),
+    ('reduce', 'reduce'),
+    ('multiply_add', 'multiply_add fusion (VPU)'),
+    ('copy', 'copy / layout'),
+    ('transpose', 'transpose'),
+    ('sort', 'sort'),
+    ('scatter', 'scatter'),
+    ('gather', 'gather'),
+    ('dynamic', 'dynamic slice/update'),
+    ('dot', 'dot (MXU)'),
+    ('all-reduce', 'collective'),
+]
+
+
+def family(name):
+    base = name.split('.')[0]
+    for pat, fam in FAMILY_RULES:
+        if pat in base:
+            return fam
+    return 'fusion (other)'
+
+
+def aggregate(profile_dir, steps, top):
+    traces = glob.glob(os.path.join(profile_dir, 'plugins', 'profile', '*',
+                                    '*trace.json.gz'))
+    if not traces:
+        raise SystemExit('no trace.json.gz captured under ' + profile_dir)
+    with gzip.open(traces[0], 'rt') as f:
+        data = json.load(f)
+
+    # device lanes: pids whose process name mentions TPU / device XLA ops;
+    # within them, only the leaf "XLA Ops" thread (module/step lanes nest
+    # the same time again and would double count)
+    pid_names, tid_names = {}, {}
+    for ev in data.get('traceEvents', []):
+        if ev.get('ph') != 'M':
+            continue
+        if ev.get('name') == 'process_name':
+            pid_names[ev['pid']] = ev['args'].get('name', '')
+        elif ev.get('name') == 'thread_name':
+            tid_names[(ev['pid'], ev.get('tid'))] = ev['args'].get('name', '')
+
+    device_pids = {pid for pid, n in pid_names.items()
+                   if re.search(r'TPU|/device:|XLA Ops', n, re.I)}
+    op_lanes = {key for key, n in tid_names.items()
+                if key[0] in device_pids and re.search(r'XLA Ops', n, re.I)}
+
+    by_op = collections.Counter()
+    by_fam = collections.Counter()
+    total = 0.0
+    for ev in data.get('traceEvents', []):
+        if ev.get('ph') != 'X':
+            continue
+        if (ev.get('pid'), ev.get('tid')) not in op_lanes:
+            continue
+        name = ev.get('name', '')
+        dur = ev.get('dur', 0) / 1e3  # us -> ms
+        # skip run/launch markers
+        if not name or name.startswith(('ProgramExecute', 'RunExecutable')):
+            continue
+        by_op[name] += dur
+        by_fam[family(name)] += dur
+        total += dur
+
+    print(f'\ndevice op time total: {total:.2f} ms over {steps} steps '
+          f'({total / steps:.2f} ms/step)')
+    print('\nby family (ms/step, share):')
+    for fam, ms in by_fam.most_common():
+        print(f'  {fam:<42} {ms / steps:7.3f}  {100 * ms / total:5.1f}%')
+    print(f'\ntop {top} individual ops (ms/step):')
+    for name, ms in by_op.most_common(top):
+        print(f'  {ms / steps:8.3f}  {name[:110]}')
+    return {fam: ms / steps for fam, ms in by_fam.items()}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--config', default='ssd_mb2_voc')
+    ap.add_argument('--batch', type=int, default=32)
+    ap.add_argument('--dtype', default='bf16', choices=['bf16', 'f32'])
+    ap.add_argument('--steps', type=int, default=5)
+    ap.add_argument('--top', type=int, default=15)
+    ap.add_argument('--keep', action='store_true',
+                    help='keep the profile dir and print its path')
+    args = ap.parse_args()
+    dtype = jnp.bfloat16 if args.dtype == 'bf16' else jnp.float32
+
+    d = tempfile.mkdtemp(prefix='profile_step_') if args.keep else None
+    ctx = d or tempfile.mkdtemp(prefix='profile_step_')
+    capture(args.config, args.batch, dtype, args.steps, ctx)
+    time.sleep(1)
+    aggregate(ctx, args.steps, args.top)
+    if args.keep:
+        print('\nprofile dir:', ctx)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,117 @@
+"""Roofline analysis of the flagship train step via XLA's own cost model.
+
+Compiles the exact bench.py device-step program (ssd_mb2_voc geometry,
+batch 32/128, bf16) and pulls ``compiled.cost_analysis()`` — XLA's static
+estimate of FLOPs and bytes accessed — to compare the measured step time
+against the chip's compute and HBM-bandwidth rooflines.
+
+Context: the reference has no analog (no profiling integration at all,
+SURVEY.md §5); this is the honesty check behind docs/PERF.md's claim that
+the MobileNet flagship step is reduction/bandwidth-bound rather than
+compiler-limited.
+
+Usage:  python benchmarks/roofline.py [--batch 32] [--f32]
+Prints one human-readable table + one JSON line.
+"""
+
+import argparse
+import functools
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# TPU v5e (one chip) datasheet peaks.
+PEAK_BF16_FLOPS = 197e12   # bf16 MXU peak, FLOP/s
+PEAK_HBM_BW = 819e9        # HBM bandwidth, B/s
+
+
+def build_step(batch_size, img=300, dtype=jnp.bfloat16):
+    import __graft_entry__ as ge
+    from single_shot_detection_tpu.train import (create_train_state,
+                                                 make_train_step)
+
+    bundle = ge._flagship(img_size=img, dtype=dtype)
+    anchors = bundle.anchors()
+    _, criterion, assigner, tx = ge._training_pieces(bundle)
+    state = create_train_state(bundle.init(jax.random.PRNGKey(0)), tx)
+    step = make_train_step(bundle.module, criterion, assigner, anchors, tx,
+                           donate=False)
+
+    rng = np.random.RandomState(0)
+    boxes = np.zeros((batch_size, 8, 6), np.float32)
+    mask = np.zeros((batch_size, 8), bool)
+    for b in range(batch_size):
+        for i in range(rng.randint(1, 6)):
+            cx, cy = rng.rand(2) * 200 + 50
+            w, h = rng.rand(2) * 100 + 30
+            boxes[b, i] = [cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2,
+                           rng.randint(1, 21), 1.0]
+            mask[b, i] = True
+    batch = {'image': jnp.asarray(
+                 rng.rand(batch_size, img, img, 3).astype(np.float32)),
+             'boxes': jnp.asarray(boxes), 'box_mask': jnp.asarray(mask)}
+    return step, state, batch
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--batch', type=int, default=32)
+    ap.add_argument('--f32', action='store_true')
+    ap.add_argument('--time', action='store_true',
+                    help='also time the step (needs a quiet host)')
+    args = ap.parse_args()
+
+    dtype = jnp.float32 if args.f32 else jnp.bfloat16
+    step, state, batch = build_step(args.batch, dtype=dtype)
+    key = jax.random.PRNGKey(1)
+
+    lowered = step.lower(state, batch, key)
+    compiled = lowered.compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):  # older jax returns [dict]
+        ca = ca[0]
+
+    flops = ca.get('flops', 0.0)
+    bytes_acc = ca.get('bytes accessed', 0.0)
+    out = {
+        'batch': args.batch,
+        'dtype': str(dtype.__name__ if hasattr(dtype, '__name__') else dtype),
+        'xla_flops_per_step': flops,
+        'xla_bytes_per_step': bytes_acc,
+        'roofline_compute_ms': flops / PEAK_BF16_FLOPS * 1e3,
+        'roofline_hbm_ms': bytes_acc / PEAK_HBM_BW * 1e3,
+        'arithmetic_intensity_flop_per_byte':
+            flops / bytes_acc if bytes_acc else None,
+    }
+    # Memory analysis: what the program holds live.
+    mem = compiled.memory_analysis()
+    for name in ('temp_size_in_bytes', 'argument_size_in_bytes',
+                 'output_size_in_bytes', 'generated_code_size_in_bytes'):
+        v = getattr(mem, name, None)
+        if v is not None:
+            out[name] = v
+
+    if args.time:
+        import time
+        st, m = step(state, batch, key)
+        jax.block_until_ready(m['loss'])
+        for _ in range(2):
+            t0 = time.perf_counter()
+            cur = state
+            for i in range(20):
+                cur, m = step(cur, batch, jax.random.fold_in(key, i))
+            jax.block_until_ready(m['loss'])
+            elapsed = time.perf_counter() - t0
+        out['measured_ms_per_step'] = elapsed / 20 * 1e3
+        out['img_per_s'] = args.batch * 20 / elapsed
+        bound = max(out['roofline_compute_ms'], out['roofline_hbm_ms'])
+        out['pct_of_roofline'] = 100.0 * bound / out['measured_ms_per_step']
+
+    print()
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == '__main__':
+    main()
