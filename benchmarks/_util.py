@@ -17,17 +17,3 @@ def retry(fn, *args, attempts=3, **kwargs):
                 raise
             print(f'transient backend error ({exc}); retrying', flush=True)
             time.sleep(5)
-
-
-def timed_loop(body, steps, sync, loops=2):
-    """Run ``body(i)`` ``steps`` times per loop, ``sync()`` at loop end;
-    returns the elapsed seconds of the LAST loop (the first is discarded —
-    remote-TPU relays run a slow path right after compilation)."""
-    elapsed = None
-    for _ in range(loops):
-        t0 = time.perf_counter()
-        for i in range(steps):
-            body(i)
-        sync()
-        elapsed = time.perf_counter() - t0
-    return elapsed

@@ -4,8 +4,12 @@ The measured device trace (docs/PERF.md) attributes 51% of the flagship
 train step to BN batch-stat + gradient reductions with f32<->bf16 converts.
 flax's BatchNorm computes statistics in f32 by default
 (``force_float32_reductions=True``).  This experiment measures the step
-with bf16 stat reductions (class-default patch — experiment only) against
-the baseline, at batch 32 and 128.
+with bf16 stat reductions against the baseline, at batch 32 and 128.
+
+NB: assigning ``BatchNorm.force_float32_reductions = False`` as a CLASS
+attribute is a silent no-op (dataclass defaults bake into ``__init__``);
+the experiment instead patches ``flax.linen.normalization._compute_stats``
+and proves the patch is live with a bf16-rounding probe (docs/PERF.md).
 
 Run: python benchmarks/bn_reduction_bench.py
 """

@@ -18,6 +18,7 @@ import gzip
 import json
 import os
 import re
+import shutil
 import sys
 import tempfile
 import time
@@ -145,13 +146,16 @@ def main():
     args = ap.parse_args()
     dtype = jnp.bfloat16 if args.dtype == 'bf16' else jnp.float32
 
-    d = tempfile.mkdtemp(prefix='profile_step_') if args.keep else None
-    ctx = d or tempfile.mkdtemp(prefix='profile_step_')
-    capture(args.config, args.batch, dtype, args.steps, ctx)
-    time.sleep(1)
-    aggregate(ctx, args.steps, args.top)
-    if args.keep:
-        print('\nprofile dir:', ctx)
+    ctx = tempfile.mkdtemp(prefix='profile_step_')
+    try:
+        capture(args.config, args.batch, dtype, args.steps, ctx)
+        time.sleep(1)
+        aggregate(ctx, args.steps, args.top)
+    finally:
+        if args.keep:
+            print('\nprofile dir:', ctx)
+        else:
+            shutil.rmtree(ctx, ignore_errors=True)
 
 
 if __name__ == '__main__':

@@ -25,6 +25,9 @@ import numpy as np
 # TPU v5e (one chip) datasheet peaks.
 PEAK_BF16_FLOPS = 197e12   # bf16 MXU peak, FLOP/s
 PEAK_HBM_BW = 819e9        # HBM bandwidth, B/s
+# f32 matmul/conv on v5e is emulated with multi-pass bf16 (no native f32
+# MXU path); half the bf16 peak is the optimistic single-extra-pass bound.
+PEAK_F32_FLOPS = PEAK_BF16_FLOPS / 2
 
 
 def build_step(batch_size, img=300, dtype=jnp.bfloat16):
@@ -75,12 +78,14 @@ def main():
 
     flops = ca.get('flops', 0.0)
     bytes_acc = ca.get('bytes accessed', 0.0)
+    peak = PEAK_F32_FLOPS if args.f32 else PEAK_BF16_FLOPS
     out = {
         'batch': args.batch,
         'dtype': str(dtype.__name__ if hasattr(dtype, '__name__') else dtype),
+        'compute_peak_flops': peak,
         'xla_flops_per_step': flops,
         'xla_bytes_per_step': bytes_acc,
-        'roofline_compute_ms': flops / PEAK_BF16_FLOPS * 1e3,
+        'roofline_compute_ms': flops / peak * 1e3,
         'roofline_hbm_ms': bytes_acc / PEAK_HBM_BW * 1e3,
         'arithmetic_intensity_flop_per_byte':
             flops / bytes_acc if bytes_acc else None,

@@ -103,28 +103,33 @@ def migrate_state_dict(raw: dict, template_dict: dict, rules=None) -> dict:
     rules = MIGRATION_RULES if rules is None else rules
     flat = _flatten(raw)
     want = set(_flatten(template_dict))
-    out = {}
-    for path, value in flat.items():
+
+    def destination(path):
         if path in want or not rules:
-            out[path] = value
-            continue
+            return path
         joined = '/'.join(path)
         for pattern, repl in rules:
             migrated, n = re.subn(pattern, repl, joined)
             if n:
-                new_path = tuple(migrated.split('/'))
-                if new_path in out or new_path in flat:
-                    # a rewrite landing on an existing key would silently
-                    # drop a tensor — bad rules must fail loudly
-                    raise ValueError(
-                        f'checkpoint migration collision: {joined} -> '
-                        f'{migrated} (target already present)')
-                logging.info(f'>> checkpoint migration: {joined} -> '
-                             f'{migrated}')
-                out[new_path] = value
-                break
-        else:
-            out[path] = value
+                return tuple(migrated.split('/'))
+        return path
+
+    # resolve every key's destination FIRST, then check collisions against
+    # the post-migration key set: chain renames (a->b while b->c) and
+    # identity rewrites are fine; two sources landing on one destination
+    # would silently drop a tensor and must fail loudly
+    out = {}
+    for path, value in flat.items():
+        dest = destination(path)
+        if dest in out:
+            raise ValueError(
+                f'checkpoint migration collision: {"/".join(path)} -> '
+                f'{"/".join(dest)} (destination already produced by '
+                'another key)')
+        if dest != path:
+            logging.info(f'>> checkpoint migration: {"/".join(path)} -> '
+                         f'{"/".join(dest)}')
+        out[dest] = value
     return _unflatten(out)
 
 

@@ -415,6 +415,10 @@ class Experiment:
         num_batches = self.num_batches_per_epoch or len(loader)
         if not hasattr(self, '_transient_budget'):
             self._transient_budget = 3
+        if not hasattr(self, '_epoch_succeeded'):
+            # an epoch COMPLETED (not merely started/skipped): required
+            # before INVALID_ARGUMENT-class errors count as transient
+            self._epoch_succeeded = False
         epoch_rows = []
         csv_path = (os.path.join(self.checkpoint_dir, 'log.csv')
                     if self.checkpoint_dir and not self.debug else None)
@@ -434,9 +438,8 @@ class Experiment:
                 # (round-2 verdict weakness: retry-only handling).  Under
                 # multi-host SPMD one process skipping an epoch would desync
                 # the collectives across ranks — propagate instead.
-                had_success = epoch > self.start_epoch
                 if (self.process_count > 1
-                        or not _is_transient(exc, had_success)
+                        or not _is_transient(exc, self._epoch_succeeded)
                         or self._transient_budget <= 0):
                     raise
                 # a failed step may have poisoned the (donated) state
@@ -462,6 +465,7 @@ class Experiment:
                         raise exc
                 continue
 
+            self._epoch_succeeded = True
             elapsed = time.time() - start
             logging.info(f'\n[train] finished in {elapsed // 60:.0f}m '
                          f'{elapsed % 60:.0f}s '

@@ -505,6 +505,29 @@ def test_checkpoint_key_migration(tmp_path):
         ckpt.restore(path, template, rules=[])
 
 
+def test_checkpoint_migration_chain_and_collision():
+    """Chain renames (a->b while b->c) migrate cleanly; two sources landing
+    on one destination fail loudly instead of silently dropping a tensor."""
+    from single_shot_detection_tpu.train.checkpoint import migrate_state_dict
+
+    raw = {'params': {'blk1': {'k': np.ones(2)}, 'blk2': {'k': np.full(2, 2.0)}}}
+    # both raw keys are stale: blk2 shifts to blk3 while blk1 shifts to blk2
+    # — the rewrite target of one rule is itself a source of another, which
+    # must NOT be flagged as a collision (no tensor is dropped)
+    template = {'params': {'blk3': {'k': np.zeros(2)}}}
+    rules = [(r'(^|/)blk2(/|$)', r'\1blk3\2'),
+             (r'(^|/)blk1(/|$)', r'\1blk2\2')]
+    out = migrate_state_dict(raw, template, rules=rules)
+    np.testing.assert_array_equal(out['params']['blk2']['k'], 1.0)
+    np.testing.assert_array_equal(out['params']['blk3']['k'], 2.0)
+
+    # two stale keys rewriting onto the same destination: loud failure
+    bad_rules = [(r'(^|/)blk1(/|$)', r'\1blk3\2'),
+                 (r'(^|/)blk2(/|$)', r'\1blk3\2')]
+    with pytest.raises(ValueError, match='migration collision'):
+        migrate_state_dict(raw, template, rules=bad_rules)
+
+
 def test_transient_backend_failure_continues(tmp_path):
     """A transient relay/backend error mid-epoch checkpoints and continues
     with the next epoch instead of killing the run; a non-transient error
@@ -552,3 +575,20 @@ def test_transient_backend_failure_continues(tmp_path):
     exp3._epoch_batches = first_epoch_invalid
     with pytest.raises(jax.errors.JaxRuntimeError):
         exp3.train()
+
+    # ... and a transiently-SKIPPED epoch does not count as success: after
+    # an UNAVAILABLE skip on epoch 0, an INVALID_ARGUMENT on epoch 1 is
+    # still ambiguous (no epoch ever completed) and must propagate
+    cfg4 = load_config(SMOKE)
+    cfg4.config.train['epochs'] = 3
+    exp4 = Experiment(cfg4, phases=['train'], debug=True)
+
+    def skip_then_invalid(loader, num_batches, epoch):
+        if epoch == 0:
+            raise jax.errors.JaxRuntimeError('UNAVAILABLE: relay hiccup')
+        raise jax.errors.JaxRuntimeError('INVALID_ARGUMENT: parameter '
+                                         'size mismatch')
+
+    exp4._epoch_batches = skip_then_invalid
+    with pytest.raises(jax.errors.JaxRuntimeError, match='INVALID_ARGUMENT'):
+        exp4.train()

@@ -91,6 +91,30 @@ def test_data_parallel_train_step_matches_single_device(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-2)
 
 
+def test_hard_negative_mining_sharded_matches_exactly(rng):
+    """The production sampler under the data mesh, on IDENTICAL logits:
+    per-image top-k negative selection must be bitwise identical to the
+    single-device result (catches e.g. a per-shard-instead-of-per-image
+    top-k partitioning regression).  The train-step agreement test above
+    deliberately uses the tie-free naive sampler — BN reduction-order
+    noise between layouts flips rank ties — so this pins the
+    hard-negative-mining path where its inputs are exactly equal."""
+    B, A, C = 8, 64, NUM_CLASSES
+    scores = jnp.asarray(rng.randn(B, A, C).astype(np.float32))
+    targets = jnp.asarray(rng.randint(-1, C, size=(B, A)).astype(np.int32))
+    sample = jax.jit(functools.partial(
+        sampling.hard_negative_mining,
+        negative_per_positive_ratio=3, min_negative_per_image=5))
+
+    single = np.asarray(sample(scores, targets))
+
+    mesh = create_mesh()
+    sh = NamedSharding(mesh, P('data'))
+    sharded = np.asarray(sample(jax.device_put(scores, sh),
+                                jax.device_put(targets, sh)))
+    np.testing.assert_array_equal(single, sharded)
+
+
 def test_shard_batch_places_on_data_axis():
     mesh = create_mesh()
     batch = {'image': np.zeros((8, 4, 4, 3), np.float32),
