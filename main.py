@@ -37,6 +37,12 @@ def get_argparser():
                         help='Force CPU backend')
     parser.add_argument('--bf16', default=False, action='store_true',
                         help='bfloat16 compute (TPU-native mixed precision)')
+    parser.add_argument('--matmul-precision', type=str, default=None,
+                        choices=['default', 'high', 'highest',
+                                 'bfloat16', 'tensorfloat32', 'float32'],
+                        help='XLA matmul/conv precision override. Unset: '
+                             'f32 runs use "highest" (true f32, matches '
+                             'torch semantics), bf16 runs use "default"')
     parser.add_argument('--phases', nargs='+', default=['train', 'eval'],
                         choices=['train', 'eval', 'test', 'export', 'embed'],
                         help='One or multiple runtime phases')
@@ -108,6 +114,7 @@ def main(args):
                             load_weights=args.load_weights,
                             debug=args.debug,
                             bf16=args.bf16,
+                            matmul_precision=args.matmul_precision,
                             tensorboard=args.tensorboard,
                             process_count=process_count,
                             process_index=process_index)

@@ -90,6 +90,7 @@ class Experiment:
                  load_weights: bool = False,
                  debug: bool = False,
                  bf16: bool = False,
+                 matmul_precision: Optional[str] = None,
                  tensorboard: bool = False,
                  seed: Optional[int] = None,
                  process_count: int = 1,
@@ -106,6 +107,27 @@ class Experiment:
         self.rng = jax.random.PRNGKey(self.seed)
 
         dtype = jnp.bfloat16 if bf16 else jnp.float32
+
+        # Matmul/conv precision.  XLA:TPU lowers *f32* matmul operands to
+        # one-pass bf16 by default — a silent precision loss torch never
+        # takes, and measurably the whole cross-framework training gap
+        # (PARITY.md: ours 0.667 -> 0.734 mean held-out mAP, vs reference
+        # 0.720, once f32 matmuls are really f32).  So an f32 policy
+        # defaults to 'highest' (multi-pass, f32-equivalent); a bf16 policy
+        # keeps 'default' (operands are already bf16 — precision is moot
+        # and the flagship throughput path is untouched).  Resolution
+        # order: explicit arg > cfg.train.matmul_precision > ambient
+        # (env var / caller already set it) > policy default.
+        requested = matmul_precision
+        if requested is None:
+            requested = (dict(cfg.train or {})).get('matmul_precision')
+        if requested is None and not bf16 \
+                and jax.config.jax_default_matmul_precision is None:
+            requested = 'highest'
+        if requested is not None:
+            jax.config.update('jax_default_matmul_precision', requested)
+        self.matmul_precision = jax.config.jax_default_matmul_precision
+
         input_size = tuple(cfg.input_size)
         self.input_size = input_size
 

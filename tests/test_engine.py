@@ -592,3 +592,38 @@ def test_transient_backend_failure_continues(tmp_path):
     exp4._epoch_batches = skip_then_invalid
     with pytest.raises(jax.errors.JaxRuntimeError, match='INVALID_ARGUMENT'):
         exp4.train()
+
+
+def test_matmul_precision_policy():
+    """f32 policy defaults to true-f32 matmuls (the PARITY.md finding:
+    XLA's silent one-pass-bf16 lowering of f32 matmuls was the whole
+    cross-framework training gap); bf16 leaves the XLA default; an
+    explicit knob or an ambient (env/caller) setting wins."""
+    prev = jax.config.jax_default_matmul_precision
+    try:
+        jax.config.update('jax_default_matmul_precision', None)
+        exp = Experiment(load_config(SMOKE), phases=['train'], debug=True)
+        assert exp.matmul_precision == 'highest'
+
+        jax.config.update('jax_default_matmul_precision', None)
+        exp = Experiment(load_config(SMOKE), phases=['train'], debug=True,
+                         bf16=True)
+        assert exp.matmul_precision is None
+
+        jax.config.update('jax_default_matmul_precision', None)
+        exp = Experiment(load_config(SMOKE), phases=['train'], debug=True,
+                         bf16=True, matmul_precision='float32')
+        assert exp.matmul_precision == 'float32'
+
+        jax.config.update('jax_default_matmul_precision', 'tensorfloat32')
+        exp = Experiment(load_config(SMOKE), phases=['train'], debug=True)
+        assert exp.matmul_precision == 'tensorfloat32'
+
+        # config-file knob (cfg.train.matmul_precision) beats ambient
+        jax.config.update('jax_default_matmul_precision', None)
+        cfg = load_config(SMOKE)
+        cfg.config.train['matmul_precision'] = 'high'
+        exp = Experiment(cfg, phases=['train'], debug=True)
+        assert exp.matmul_precision == 'high'
+    finally:
+        jax.config.update('jax_default_matmul_precision', prev)

@@ -373,7 +373,7 @@ def run_reference(workdir, cfg_path):
     }
 
 
-def run_ours(workdir, cfg_path, cpu=False):
+def run_ours(workdir, cfg_path, cpu=False, matmul_precision=None):
     env = dict(os.environ)
     env['PYTHONPATH'] = ROOT + os.pathsep + env.get('PYTHONPATH', '')
     save = os.path.join(workdir, 'ours_out')
@@ -382,6 +382,8 @@ def run_ours(workdir, cfg_path, cpu=False):
            '--config', cfg_path, '--save-dir', save]
     if cpu:
         cmd.append('--cpu')
+    if matmul_precision:
+        cmd += ['--matmul-precision', matmul_precision]
     t0 = time.time()
     with open(log, 'w') as lf:
         subprocess.run(cmd, env=env, cwd=ROOT, stdout=lf,
@@ -407,6 +409,10 @@ def main():
     ap.add_argument('--eval-n', type=int, default=16)
     ap.add_argument('--milestones', default='100,130')
     ap.add_argument('--ours-cpu', action='store_true')
+    ap.add_argument('--ours-matmul-precision', default=None,
+                    help="override our side's matmul precision (the engine "
+                         "defaults f32 runs to 'highest'; pass 'default' to "
+                         "reproduce the pre-fix column in PARITY.md)")
     ap.add_argument('--skip-reference', action='store_true')
     ap.add_argument('--skip-ours', action='store_true')
     args = ap.parse_args()
@@ -444,7 +450,8 @@ def main():
 
     if not args.skip_ours:
         print('training this framework...', flush=True)
-        ours = run_ours(args.workdir, cfgs['ours'], cpu=args.ours_cpu)
+        ours = run_ours(args.workdir, cfgs['ours'], cpu=args.ours_cpu,
+                        matmul_precision=args.ours_matmul_precision)
         results['ours'] = {'mAP': ours['mAP'],
                            'minutes': round(ours['minutes'], 1)}
         json.dump(results, open(state_path, 'w'), indent=2)
