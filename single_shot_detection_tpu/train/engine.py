@@ -51,6 +51,12 @@ _TRANSIENT_MARKERS = ('UNAVAILABLE', 'DEADLINE_EXCEEDED', 'transfer')
 # the program runs (see _is_transient's had_success flag)
 _AMBIGUOUS_MARKERS = ('INVALID_ARGUMENT', 'InvalidArgument')
 
+# True when the CURRENT value of jax_default_matmul_precision was written by
+# an Experiment's policy (vs a user's env var / explicit jax.config call),
+# so later Experiments in the same process re-resolve instead of treating a
+# leaked policy default as a user preference.
+_MATMUL_PRECISION_SET_BY_ENGINE = False
+
 
 def _is_transient(exc, had_success: bool = False) -> bool:
     """Relay-attached TPUs intermittently fail device transfers with
@@ -117,16 +123,25 @@ class Experiment:
         # keeps 'default' (operands are already bf16 — precision is moot
         # and the flagship throughput path is untouched).  Resolution
         # order: explicit arg > cfg.train.matmul_precision > ambient
-        # (env var / caller already set it) > policy default.
+        # (env var / user-set, NOT a value a previous Experiment in this
+        # process wrote — the module tracks that, so a bf16 Experiment
+        # after an f32 one gets XLA's default back) > policy default.
+        global _MATMUL_PRECISION_SET_BY_ENGINE
+        ambient = jax.config.jax_default_matmul_precision
+        if ambient is not None and _MATMUL_PRECISION_SET_BY_ENGINE:
+            ambient = None
         requested = matmul_precision
         if requested is None:
             requested = (dict(cfg.train or {})).get('matmul_precision')
-        if requested is None and not bf16 \
-                and jax.config.jax_default_matmul_precision is None:
+        if requested is None:
+            requested = ambient
+        if requested is None and not bf16:
             requested = 'highest'
-        if requested is not None:
+        if requested != jax.config.jax_default_matmul_precision:
             jax.config.update('jax_default_matmul_precision', requested)
-        self.matmul_precision = jax.config.jax_default_matmul_precision
+        _MATMUL_PRECISION_SET_BY_ENGINE = (requested is not None
+                                           and requested != ambient)
+        self.matmul_precision = requested
 
         input_size = tuple(cfg.input_size)
         self.input_size = input_size

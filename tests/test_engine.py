@@ -599,31 +599,50 @@ def test_matmul_precision_policy():
     XLA's silent one-pass-bf16 lowering of f32 matmuls was the whole
     cross-framework training gap); bf16 leaves the XLA default; an
     explicit knob or an ambient (env/caller) setting wins."""
+    from single_shot_detection_tpu.train import engine as engine_mod
+
     prev = jax.config.jax_default_matmul_precision
+    prev_flag = engine_mod._MATMUL_PRECISION_SET_BY_ENGINE
+
+    def reset(ambient=None, engine_set=False):
+        jax.config.update('jax_default_matmul_precision', ambient)
+        engine_mod._MATMUL_PRECISION_SET_BY_ENGINE = engine_set
+
     try:
-        jax.config.update('jax_default_matmul_precision', None)
+        reset()
         exp = Experiment(load_config(SMOKE), phases=['train'], debug=True)
         assert exp.matmul_precision == 'highest'
 
-        jax.config.update('jax_default_matmul_precision', None)
+        # an f32 Experiment's policy write does NOT leak into a later bf16
+        # Experiment in the same process: XLA's default is restored
         exp = Experiment(load_config(SMOKE), phases=['train'], debug=True,
                          bf16=True)
         assert exp.matmul_precision is None
+        assert jax.config.jax_default_matmul_precision is None
 
-        jax.config.update('jax_default_matmul_precision', None)
+        reset()
         exp = Experiment(load_config(SMOKE), phases=['train'], debug=True,
                          bf16=True, matmul_precision='float32')
         assert exp.matmul_precision == 'float32'
 
-        jax.config.update('jax_default_matmul_precision', 'tensorfloat32')
+        # user-set ambient (env var / jax.config call) is respected
+        reset(ambient='tensorfloat32')
         exp = Experiment(load_config(SMOKE), phases=['train'], debug=True)
         assert exp.matmul_precision == 'tensorfloat32'
 
-        # config-file knob (cfg.train.matmul_precision) beats ambient
-        jax.config.update('jax_default_matmul_precision', None)
+        # config-file knob beats user-set ambient
+        reset(ambient='tensorfloat32')
         cfg = load_config(SMOKE)
         cfg.config.train['matmul_precision'] = 'high'
         exp = Experiment(cfg, phases=['train'], debug=True)
         assert exp.matmul_precision == 'high'
+
+        # explicit arg beats the config-file knob
+        reset()
+        cfg = load_config(SMOKE)
+        cfg.config.train['matmul_precision'] = 'high'
+        exp = Experiment(cfg, phases=['train'], debug=True,
+                         matmul_precision='float32')
+        assert exp.matmul_precision == 'float32'
     finally:
-        jax.config.update('jax_default_matmul_precision', prev)
+        reset(ambient=prev, engine_set=prev_flag)

@@ -410,6 +410,8 @@ def main():
     ap.add_argument('--milestones', default='100,130')
     ap.add_argument('--ours-cpu', action='store_true')
     ap.add_argument('--ours-matmul-precision', default=None,
+                    choices=['default', 'high', 'highest',
+                             'bfloat16', 'tensorfloat32', 'float32'],
                     help="override our side's matmul precision (the engine "
                          "defaults f32 runs to 'highest'; pass 'default' to "
                          "reproduce the pre-fix column in PARITY.md)")
