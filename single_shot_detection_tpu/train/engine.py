@@ -117,8 +117,8 @@ class Experiment:
         # Matmul/conv precision.  XLA:TPU lowers *f32* matmul operands to
         # one-pass bf16 by default — a silent precision loss torch never
         # takes, and measurably the whole cross-framework training gap
-        # (PARITY.md: ours 0.667 -> 0.734 mean held-out mAP, vs reference
-        # 0.720, once f32 matmuls are really f32).  So an f32 policy
+        # (PARITY.md: ours 0.648 -> 0.736 mean held-out mAP over 5 paired
+        # seeds, vs reference 0.688, once f32 matmuls are really f32).  So an f32 policy
         # defaults to 'highest' (multi-pass, f32-equivalent); a bf16 policy
         # keeps 'default' (operands are already bf16 — precision is moot
         # and the flagship throughput path is untouched).  Resolution
