@@ -203,3 +203,61 @@ def test_spatial_partitioning_forward_agrees(rng):
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(locs), np.asarray(ref_locs),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_hybrid_spatial_train_step_agrees(rng):
+    """Hybrid (data x spatial) sharding — the dryrun_multichip layout: the
+    full train step on a (4, 2) mesh with the image H axis sharded over
+    'model' matches the single-device step (GSPMD conv halos + cross-axis
+    loss/grad/BN reductions)."""
+    bundle = builder.build(
+        base={'name': 'mobilenet_v2', 'depth_multiplier': 0.35},
+        anchor_generator={'type': 'ssd', 'num_scales': 1, 'min_scale': 0.3,
+                          'max_scale': 0.9, 'aspect_ratios': [[1.0]]},
+        num_classes=NUM_CLASSES,
+        features={'name': 'Features', 'out_layers': (18,)},
+        input_size=(IMG, IMG))
+    anchors = bundle.anchors()
+    coder = BoxCoder(10.0, 5.0)
+    criterion = losses.MultiboxLoss(sampling.naive_sampler, coder,
+                                    {'name': 'CrossEntropyLoss'},
+                                    {'name': 'SmoothL1Loss'})
+    assigner = matching.TargetAssigner(0.5)
+    tx = optimizers.create_optimizer({'name': 'SGD', 'lr': 1e-2})
+    state = create_train_state(bundle.init(jax.random.PRNGKey(0),
+                                           batch_size=8), tx)
+
+    batch_np = {
+        'image': rng.rand(8, IMG, IMG, 3).astype(np.float32),
+        'boxes': np.tile(np.array([10, 10, 40, 40, 1, 1], np.float32),
+                         (8, 2, 1)),
+        'box_mask': np.ones((8, 2), bool),
+    }
+    step = make_train_step(bundle.module, criterion, assigner, anchors, tx,
+                           donate=False)
+
+    batch1 = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    state1, metrics1 = step(state, batch1, jax.random.PRNGKey(1))
+
+    mesh = create_mesh(n_data=4, n_model=2)
+    state_sh = jax.device_put(state, replicated(mesh))
+    batch_sh = {
+        'image': jax.device_put(
+            batch_np['image'],
+            NamedSharding(mesh, P('data', 'model', None, None))),
+        'boxes': jax.device_put(batch_np['boxes'],
+                                NamedSharding(mesh, P('data'))),
+        'box_mask': jax.device_put(batch_np['box_mask'],
+                                   NamedSharding(mesh, P('data'))),
+    }
+    state_h, metrics_h = step(state_sh, batch_sh, jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(metrics_h['loss']),
+                               float(metrics1['loss']), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(state1.batch_stats),
+                    jax.tree_util.tree_leaves(state_h.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    # params: same loose tolerance rationale as the data-parallel test
+    for a, b in zip(jax.tree_util.tree_leaves(state1.params),
+                    jax.tree_util.tree_leaves(state_h.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-2)
