@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from benchmarks._util import retry as _retry
+from benchmarks._util import retry as _retry, synth_batch as _synth_batch
 
 REFERENCE_GPU_IMG_S = 120.0  # estimated reference GPU e2e throughput (see docstring)
 
@@ -64,20 +64,7 @@ def bench_device_step(dtype, batch_size=BATCH):
     step = make_train_step(bundle.module, criterion, assigner, anchors, tx,
                            donate=True)
 
-    rng = np.random.RandomState(0)
-    boxes = np.zeros((batch_size, 8, 6), np.float32)
-    mask = np.zeros((batch_size, 8), bool)
-    for b in range(batch_size):
-        n = rng.randint(1, 6)
-        for i in range(n):
-            cx, cy = rng.rand(2) * 200 + 50
-            w, h = rng.rand(2) * 100 + 30
-            boxes[b, i] = [cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2,
-                           rng.randint(1, 21), 1.0]
-            mask[b, i] = True
-    batch = {'image': jnp.asarray(
-                 rng.rand(batch_size, IMG, IMG, 3).astype(np.float32)),
-             'boxes': jnp.asarray(boxes), 'box_mask': jnp.asarray(mask)}
+    batch = _synth_batch(batch_size, (IMG, IMG))
 
     key = jax.random.PRNGKey(1)
     # compile + warmup; the first post-compile timing loop is additionally
@@ -184,7 +171,11 @@ def main():
         'value': round(device_step_b128, 2),
         'unit': 'images/sec/chip',
         'vs_baseline': round(device_step_b128 / REFERENCE_GPU_IMG_S, 3),
-        'baseline_basis': 'estimate (reference publishes no numbers)',
+        'baseline_basis': 'estimate (reference publishes no numbers; '
+                          'denominator is an END-TO-END GPU-pipeline '
+                          'estimate while value is the device step — see '
+                          'end_to_end_img_s for the like-for-like '
+                          'this-harness number, which is relay-bound)',
         'flagship_batch': BATCH_LARGE,
         'device_step_img_s_b32': round(device_step, 2),
         'device_step_img_s_b128': round(device_step_b128, 2),

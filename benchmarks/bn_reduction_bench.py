@@ -21,10 +21,11 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
+
+from benchmarks._util import synth_batch  # noqa: E402 (needs ROOT)
 
 STEPS = 20
 
@@ -41,13 +42,7 @@ def time_step(batch, dtype=jnp.bfloat16):
     step = make_train_step(bundle.module, criterion, assigner, anchors, tx,
                            donate=True)
 
-    rng = np.random.RandomState(0)
-    boxes = np.zeros((batch, 8, 6), np.float32)
-    mask = np.zeros((batch, 8), bool)
-    boxes[:, 0] = [30, 30, 200, 200, 1, 1.0]
-    mask[:, 0] = True
-    data = {'image': jnp.asarray(rng.rand(batch, 300, 300, 3).astype(np.float32)),
-            'boxes': jnp.asarray(boxes), 'box_mask': jnp.asarray(mask)}
+    data = synth_batch(batch, (300, 300))
 
     key = jax.random.PRNGKey(1)
     state, metrics = step(state, data, key)

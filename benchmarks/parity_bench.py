@@ -18,7 +18,6 @@ Prints one JSON line per config and a summary table.
 """
 
 import argparse
-import functools
 import json
 import os
 import sys
@@ -31,7 +30,7 @@ import numpy as np
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-from benchmarks._util import retry as _retry  # noqa: E402 (needs ROOT)
+from benchmarks._util import retry as _retry, synth_batch  # noqa: E402 (needs ROOT)
 
 PARITY = [
     # (config file, reference batch size)
@@ -94,23 +93,6 @@ def build_from_config(path, dtype):
                if not isinstance(v, str) or k == 'name'}  # skip uninterpolated
     tx = optimizers.create_optimizer(opt_cfg)
     return cfg, bundle, criterion, assigner, postprocessor, tx
-
-
-def synth_batch(batch, img_hw, num_classes, max_gt=8, seed=0):
-    h, w = img_hw
-    rng = np.random.RandomState(seed)
-    boxes = np.zeros((batch, max_gt, 6), np.float32)
-    mask = np.zeros((batch, max_gt), bool)
-    for b in range(batch):
-        n = rng.randint(1, max_gt // 2 + 1)
-        for i in range(n):
-            cx, cy = rng.rand() * (w - 100) + 50, rng.rand() * (h - 100) + 50
-            bw, bh = rng.rand(2) * 80 + 30
-            boxes[b, i] = [cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2,
-                           rng.randint(1, num_classes), 1.0]
-            mask[b, i] = True
-    return {'image': jnp.asarray(rng.rand(batch, h, w, 3).astype(np.float32)),
-            'boxes': jnp.asarray(boxes), 'box_mask': jnp.asarray(mask)}
 
 
 def bench_config(name, batch, dtype, steps):

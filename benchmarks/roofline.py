@@ -15,12 +15,10 @@ Prints one human-readable table + one JSON line.
 """
 
 import argparse
-import functools
 import json
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 # TPU v5e (one chip) datasheet peaks.
 PEAK_BF16_FLOPS = 197e12   # bf16 MXU peak, FLOP/s
@@ -32,6 +30,7 @@ PEAK_F32_FLOPS = PEAK_BF16_FLOPS / 2
 
 def build_step(batch_size, img=300, dtype=jnp.bfloat16):
     import __graft_entry__ as ge
+    from benchmarks._util import synth_batch
     from single_shot_detection_tpu.train import (create_train_state,
                                                  make_train_step)
 
@@ -42,19 +41,7 @@ def build_step(batch_size, img=300, dtype=jnp.bfloat16):
     step = make_train_step(bundle.module, criterion, assigner, anchors, tx,
                            donate=False)
 
-    rng = np.random.RandomState(0)
-    boxes = np.zeros((batch_size, 8, 6), np.float32)
-    mask = np.zeros((batch_size, 8), bool)
-    for b in range(batch_size):
-        for i in range(rng.randint(1, 6)):
-            cx, cy = rng.rand(2) * 200 + 50
-            w, h = rng.rand(2) * 100 + 30
-            boxes[b, i] = [cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2,
-                           rng.randint(1, 21), 1.0]
-            mask[b, i] = True
-    batch = {'image': jnp.asarray(
-                 rng.rand(batch_size, img, img, 3).astype(np.float32)),
-             'boxes': jnp.asarray(boxes), 'box_mask': jnp.asarray(mask)}
+    batch = synth_batch(batch_size, (img, img))
     return step, state, batch
 
 

@@ -566,7 +566,7 @@ class Pipeline:
 
     def _run_one(self, rng, img, boxes, mask):
         img = img.astype(jnp.float32)
-        keys = jax.random.split(rng, len(self.stages) + 2)
+        keys = jax.random.split(rng, len(self.stages))
 
         state = identity_state(img.shape[1], img.shape[0], boxes, mask)
         for key, (kind, kw) in zip(keys, self.stages):

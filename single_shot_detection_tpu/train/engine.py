@@ -45,17 +45,20 @@ from single_shot_detection_tpu.train.step import (make_eval_step,
 from single_shot_detection_tpu.utils.misc import filter_kwargs
 
 
-_TRANSIENT_MARKERS = ('UNAVAILABLE', 'DEADLINE_EXCEEDED', 'transfer')
+_TRANSIENT_MARKERS = ('UNAVAILABLE', 'DEADLINE_EXCEEDED')
 # XLA also reports some genuinely fatal program errors as INVALID_ARGUMENT,
-# so that class is only believed to be transient once training has proven
-# the program runs (see _is_transient's had_success flag)
-_AMBIGUOUS_MARKERS = ('INVALID_ARGUMENT', 'InvalidArgument')
+# and deterministic errors can mention 'transfer' (e.g. jax transfer
+# guards), so these classes are only believed to be transient once training
+# has proven the program runs (see _is_transient's had_success flag)
+_AMBIGUOUS_MARKERS = ('INVALID_ARGUMENT', 'InvalidArgument', 'transfer')
 
-# True when the CURRENT value of jax_default_matmul_precision was written by
-# an Experiment's policy (vs a user's env var / explicit jax.config call),
-# so later Experiments in the same process re-resolve instead of treating a
-# leaked policy default as a user preference.
+# True once any Experiment has written jax_default_matmul_precision;
+# _USER_AMBIENT_MATMUL_PRECISION then holds the value the USER had set
+# (env var / explicit jax.config call — may be None) before the first
+# engine write, so later Experiments resolve against the user's
+# preference instead of a leaked policy value.
 _MATMUL_PRECISION_SET_BY_ENGINE = False
+_USER_AMBIENT_MATMUL_PRECISION = None
 
 
 def _is_transient(exc, had_success: bool = False) -> bool:
@@ -122,25 +125,27 @@ class Experiment:
         # defaults to 'highest' (multi-pass, f32-equivalent); a bf16 policy
         # keeps 'default' (operands are already bf16 — precision is moot
         # and the flagship throughput path is untouched).  Resolution
-        # order: explicit arg > cfg.train.matmul_precision > ambient
-        # (env var / user-set, NOT a value a previous Experiment in this
-        # process wrote — the module tracks that, so a bf16 Experiment
-        # after an f32 one gets XLA's default back) > policy default.
+        # order: explicit arg > cfg.train.matmul_precision > user ambient
+        # (env var / user jax.config call, remembered across Experiments —
+        # values a previous Experiment wrote do NOT count, so a bf16
+        # Experiment after an f32 one gets XLA's default back and a user's
+        # env var survives an explicit per-Experiment override) > policy
+        # default.
         global _MATMUL_PRECISION_SET_BY_ENGINE
-        ambient = jax.config.jax_default_matmul_precision
-        if ambient is not None and _MATMUL_PRECISION_SET_BY_ENGINE:
-            ambient = None
+        global _USER_AMBIENT_MATMUL_PRECISION
+        if not _MATMUL_PRECISION_SET_BY_ENGINE:
+            _USER_AMBIENT_MATMUL_PRECISION = \
+                jax.config.jax_default_matmul_precision
         requested = matmul_precision
         if requested is None:
             requested = (dict(cfg.train or {})).get('matmul_precision')
         if requested is None:
-            requested = ambient
+            requested = _USER_AMBIENT_MATMUL_PRECISION
         if requested is None and not bf16:
             requested = 'highest'
         if requested != jax.config.jax_default_matmul_precision:
             jax.config.update('jax_default_matmul_precision', requested)
-        _MATMUL_PRECISION_SET_BY_ENGINE = (requested is not None
-                                           and requested != ambient)
+        _MATMUL_PRECISION_SET_BY_ENGINE = True
         self.matmul_precision = requested
 
         input_size = tuple(cfg.input_size)
@@ -430,8 +435,10 @@ class Experiment:
             raise KeyboardInterrupt('SIGTERM')
 
         prev_handler = None
+        installed = False
         try:  # only the main thread may set handlers; skip elsewhere
             prev_handler = signal.signal(signal.SIGTERM, _sigterm)
+            installed = True
         except ValueError:
             pass
         try:
@@ -444,8 +451,15 @@ class Experiment:
                                 f'saved to {path}')
             raise
         finally:
-            if prev_handler is not None:
-                signal.signal(signal.SIGTERM, prev_handler)
+            if installed:
+                # prev_handler is None when the previous handler was
+                # installed by non-Python code and cannot be re-installed
+                # from Python; SIG_DFL is the closest restoration (leaving
+                # OUR handler active would raise KeyboardInterrupt in
+                # unrelated code long after train() returned)
+                signal.signal(signal.SIGTERM,
+                              prev_handler if prev_handler is not None
+                              else signal.SIG_DFL)
 
     def _train_epochs(self):
         loader = self.loaders['train']

@@ -292,7 +292,12 @@ def reference_backbone_mapping(backbone: str) -> Dict[str, Tuple[str, ...]]:
     """
     if backbone.startswith('mobilenet_v2'):
         return mobilenet_v2_reference_mapping()
-    if backbone.startswith(('mobilenet_v1', 'mobilenet_')):
+    # v1 registry names: 'mobilenet_v1' and width aliases 'mobilenet_<digits>'
+    # ('mobilenet_10'/'075'/'05'/'025', backbones.py) — a bare 'mobilenet_'
+    # prefix must NOT catch future variants (e.g. a v3) silently
+    if backbone.startswith('mobilenet_v1') or (
+            backbone.startswith('mobilenet_')
+            and backbone[len('mobilenet_'):].isdigit()):
         return mobilenet_v1_mapping()
     if 'vgg' in backbone:
         from single_shot_detection_tpu.models.vgg import VGG_CONFIGS

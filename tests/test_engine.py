@@ -603,10 +603,12 @@ def test_matmul_precision_policy():
 
     prev = jax.config.jax_default_matmul_precision
     prev_flag = engine_mod._MATMUL_PRECISION_SET_BY_ENGINE
+    prev_user = engine_mod._USER_AMBIENT_MATMUL_PRECISION
 
-    def reset(ambient=None, engine_set=False):
+    def reset(ambient=None, engine_set=False, user_ambient=None):
         jax.config.update('jax_default_matmul_precision', ambient)
         engine_mod._MATMUL_PRECISION_SET_BY_ENGINE = engine_set
+        engine_mod._USER_AMBIENT_MATMUL_PRECISION = user_ambient
 
     try:
         reset()
@@ -644,5 +646,15 @@ def test_matmul_precision_policy():
         exp = Experiment(cfg, phases=['train'], debug=True,
                          matmul_precision='float32')
         assert exp.matmul_precision == 'float32'
+
+        # a user env/ambient setting survives an earlier Experiment's
+        # EXPLICIT override: the next plain Experiment resolves back to
+        # the user's value, not the leaked override or the policy default
+        reset(ambient='high')
+        exp = Experiment(load_config(SMOKE), phases=['train'], debug=True,
+                         matmul_precision='float32')
+        assert exp.matmul_precision == 'float32'
+        exp = Experiment(load_config(SMOKE), phases=['train'], debug=True)
+        assert exp.matmul_precision == 'high'
     finally:
-        reset(ambient=prev, engine_set=prev_flag)
+        reset(ambient=prev, engine_set=prev_flag, user_ambient=prev_user)

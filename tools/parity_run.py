@@ -132,7 +132,7 @@ import types
 import numpy as np
 import torch
 
-torch.set_num_threads(max(os.cpu_count(), 1))
+torch.set_num_threads(max(os.cpu_count() or 1, 1))
 
 # the reference targets torch ~1.1: torch.jit.scope (used purely for traced
 # node naming, torch_utils.py:15) is gone in modern torch — null shim
