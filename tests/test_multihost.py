@@ -22,6 +22,8 @@ import textwrap
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), '..'))
 
 # deterministic config: NO augmentations and NO mixup, so the global batch

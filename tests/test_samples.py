@@ -8,6 +8,7 @@ import os
 import numpy as np
 import pytest
 
+
 from single_shot_detection_tpu.models import builder
 from single_shot_detection_tpu.utils.config import load_config
 
@@ -43,6 +44,7 @@ def _tiny_input(size):
     return (max(h // 2, 96), max(w // 2, 96))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize('path', SAMPLES,
                          ids=[os.path.basename(p) for p in SAMPLES])
 def test_sample_config_train_and_eval_step(path, tmp_path):
