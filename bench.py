@@ -182,6 +182,9 @@ def main():
         'end_to_end_img_s': round(e2e['median'], 2),
         'end_to_end_img_s_mean': round(e2e['mean'], 2),
         'end_to_end_img_s_best': round(e2e['best'], 2),
+        # like-for-like ratio: e2e pipeline vs the e2e GPU estimate
+        'end_to_end_vs_baseline': round(e2e['median'] / REFERENCE_GPU_IMG_S,
+                                        3),
         'end_to_end_note': 'relay-bandwidth bound on this harness (docs/PERF.md)',
         'host_cpu_cores': os.cpu_count(),
     }), flush=True)

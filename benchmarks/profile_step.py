@@ -28,11 +28,11 @@ import jax.numpy as jnp
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
-sys.path.insert(0, os.path.join(ROOT, 'benchmarks'))
 
 
 def capture(config, batch, dtype, steps, profile_dir):
-    from parity_bench import build_from_config, synth_batch
+    from benchmarks.parity_bench import build_from_config
+    from benchmarks._util import synth_batch
     from single_shot_detection_tpu.train import (create_train_state,
                                                  make_train_step)
 

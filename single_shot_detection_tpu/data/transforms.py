@@ -27,6 +27,7 @@ masks replacing variable-length filtering.
 from __future__ import annotations
 
 import functools
+import warnings
 from typing import Any, Dict, List, Sequence, Tuple
 
 import jax
@@ -406,6 +407,16 @@ def sample_view(img, window, out_size, fill):
 # ---------------------------------------------------------------------------
 
 PHOTOMETRIC_KINDS = ('brightness', 'contrast', 'hue_saturation')
+GEOMETRIC_KINDS = ('rot90', 'expand', 'crop', 'hflip', 'vflip')
+
+
+def _entry_contains(entry, kinds) -> bool:
+    """True if a parsed stage entry is (or a nested OneOf branch is) one of
+    ``kinds``."""
+    kind, kw = entry
+    if kind == 'oneof':
+        return any(_entry_contains(b, kinds) for b in kw)
+    return kind in kinds
 
 
 def _apply_photo(kind, kw, key, img):
@@ -497,6 +508,25 @@ class Pipeline:
             entry = self._parse_one(spec)
             if entry is not None:
                 self.stages.append(entry)
+
+        # Contrast anchored after a geometric transform deviates from the
+        # reference: its mean is taken over the full staged image, not the
+        # cropped/expanded view (see _apply_stage docstring).  Shipped
+        # reference configs never order it that way; warn loudly when a
+        # user config does instead of silently diverging.
+        geo_seen = False
+        for entry in self.stages:
+            if geo_seen and _entry_contains(entry, ('contrast',)):
+                warnings.warn(
+                    'RandomAdjustContrast placed after a geometric '
+                    'transform: its mean anchor is the full staged image, '
+                    'not the cropped/expanded view the reference would '
+                    'use (pixel-level deviation; boxes are unaffected). '
+                    'Order photometric transforms before geometric ones '
+                    'for exact reference semantics.', stacklevel=2)
+                break
+            if _entry_contains(entry, GEOMETRIC_KINDS):
+                geo_seen = True
 
         for spec in preprocessing:
             name = spec['name']

@@ -21,6 +21,12 @@ from flax import linen as nn
 
 Dtype = Any
 
+# parity: the reference initializes every backbone conv with
+# xavier_uniform + zero bias (mobilenet.py:131-137,
+# mobilenet_v2.py:144-150); flax defaults to lecun_normal, which
+# measurably changes short-run training trajectories
+xavier_uniform = nn.initializers.glorot_uniform()
+
 ACTIVATIONS = {
     'ReLU': nn.relu,
     'ReLU6': lambda x: jnp.minimum(nn.relu(x), 6.0),

@@ -19,13 +19,8 @@ from typing import Any, Dict, Optional, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-# parity: the reference initializes every backbone conv with
-# xavier_uniform + zero bias (mobilenet.py:131-137,
-# mobilenet_v2.py:144-150); flax defaults to lecun_normal, which
-# measurably changes short-run training trajectories
-_xavier_uniform = nn.initializers.glorot_uniform()
-
-from single_shot_detection_tpu.models.layers import tf_same_pad
+from single_shot_detection_tpu.models.layers import (
+    tf_same_pad, xavier_uniform as _xavier_uniform)
 
 
 def _relu6(x):

@@ -57,8 +57,14 @@ _AMBIGUOUS_MARKERS = ('INVALID_ARGUMENT', 'InvalidArgument', 'transfer')
 # (env var / explicit jax.config call — may be None) before the first
 # engine write, so later Experiments resolve against the user's
 # preference instead of a leaked policy value.
+# _ENGINE_LAST_MATMUL_WRITE records the value the engine last resolved to:
+# if the live config later differs from it, the user changed the config
+# between Experiments and the new value is re-captured as their ambient
+# (an explicit user jax.config.update is never clobbered by a stale
+# remembered ambient).
 _MATMUL_PRECISION_SET_BY_ENGINE = False
 _USER_AMBIENT_MATMUL_PRECISION = None
+_ENGINE_LAST_MATMUL_WRITE = None
 
 
 def _is_transient(exc, had_success: bool = False) -> bool:
@@ -133,9 +139,13 @@ class Experiment:
         # default.
         global _MATMUL_PRECISION_SET_BY_ENGINE
         global _USER_AMBIENT_MATMUL_PRECISION
-        if not _MATMUL_PRECISION_SET_BY_ENGINE:
-            _USER_AMBIENT_MATMUL_PRECISION = \
-                jax.config.jax_default_matmul_precision
+        global _ENGINE_LAST_MATMUL_WRITE
+        current = jax.config.jax_default_matmul_precision
+        if (not _MATMUL_PRECISION_SET_BY_ENGINE
+                or current != _ENGINE_LAST_MATMUL_WRITE):
+            # first Experiment, or the user changed the config since the
+            # engine's last write — (re-)capture their preference
+            _USER_AMBIENT_MATMUL_PRECISION = current
         requested = matmul_precision
         if requested is None:
             requested = (dict(cfg.train or {})).get('matmul_precision')
@@ -143,9 +153,10 @@ class Experiment:
             requested = _USER_AMBIENT_MATMUL_PRECISION
         if requested is None and not bf16:
             requested = 'highest'
-        if requested != jax.config.jax_default_matmul_precision:
+        if requested != current:
             jax.config.update('jax_default_matmul_precision', requested)
         _MATMUL_PRECISION_SET_BY_ENGINE = True
+        _ENGINE_LAST_MATMUL_WRITE = requested
         self.matmul_precision = requested
 
         input_size = tuple(cfg.input_size)
@@ -385,12 +396,18 @@ class Experiment:
                 self._capture_means = jax.jit(capture_means)
 
         # --- steps ------------------------------------------------------------
+        # frozen BN (train.frozen_bn, beyond-parity): running-stat
+        # normalization with no stat updates — the standard fine-tune
+        # recipe from imported weights, and drops the batch-stat
+        # reductions from the step (docs/PERF.md)
+        self.frozen_bn = bool(train_cfg.get('frozen_bn', False))
         # augmentation fuses into the train step: one dispatch per step
         self.train_step = make_train_step(
             self.bundle.module, self.criterion, self.assigner, self.anchors,
             self.tx, mixup=train_cfg.get('mixup'),
             pipeline=self.train_pipeline,
-            with_grads=self._needs_taylor)
+            with_grads=self._needs_taylor,
+            frozen_bn=self.frozen_bn)
         # k steps per dispatch via lax.scan — amortizes dispatch/readback
         # round trips (dominant on remote-TPU transports; see docs/PERF.md)
         self.fused_steps = int(train_cfg.get('fused_steps', 1))
@@ -404,7 +421,8 @@ class Experiment:
             self.fused_train_step = make_fused_train_step(
                 self.bundle.module, self.criterion, self.assigner,
                 self.anchors, self.tx, k=self.fused_steps,
-                mixup=train_cfg.get('mixup'), pipeline=self.train_pipeline)
+                mixup=train_cfg.get('mixup'), pipeline=self.train_pipeline,
+                frozen_bn=self.frozen_bn)
         self.eval_step = make_eval_step(
             self.bundle.module, self.criterion, self.assigner, self.anchors,
             self.postprocessor)

@@ -60,7 +60,8 @@ def make_train_step(module,
                     mixup: Optional[dict] = None,
                     pipeline=None,
                     donate: bool = True,
-                    with_grads: bool = False) -> Callable:
+                    with_grads: bool = False,
+                    frozen_bn: bool = False) -> Callable:
     """Build the jitted train step (parity: init.py:101-135 ``step_fn`` +
     callbacks optimizer/loss/mixup).
 
@@ -68,9 +69,19 @@ def make_train_step(module,
     augmentation fuses INTO the step: the batch carries raw staged uint8
     images + 7-col boxes and the whole epoch iteration is one XLA program
     dispatch per step.
+
+    ``frozen_bn`` (beyond-parity extension): normalize with the stored
+    running statistics instead of batch statistics and never update them —
+    the standard detection fine-tune recipe when starting from imported
+    pretrained/reference weights (``utils/torch_import``).  BN scale/bias
+    still receive gradients.  Side benefits on TPU: the batch-stat
+    reductions (the largest op family in the flagship step trace,
+    docs/PERF.md) disappear from the program, and multi-host runs need no
+    cross-host stat sync.  Meaningless from random init (running stats are
+    the 0/1 identity).
     """
     train_step = _train_step_body(module, criterion, assigner, anchors, tx,
-                                  mixup, pipeline, with_grads)
+                                  mixup, pipeline, with_grads, frozen_bn)
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
@@ -78,7 +89,8 @@ def make_fused_train_step(module, criterion, assigner, anchors, tx,
                           k: int,
                           mixup: Optional[dict] = None,
                           pipeline=None,
-                          donate: bool = True) -> Callable:
+                          donate: bool = True,
+                          frozen_bn: bool = False) -> Callable:
     """``k`` train steps per XLA dispatch via ``lax.scan``.
 
     Dispatch/readback round trips dominate small-model steps on remote
@@ -87,7 +99,8 @@ def make_fused_train_step(module, criterion, assigner, anchors, tx,
     returns summed metrics plus the per-chunk mean loss for display.
     """
     body = _train_step_body(module, criterion, assigner, anchors, tx,
-                            mixup, pipeline, with_grads=False)
+                            mixup, pipeline, with_grads=False,
+                            frozen_bn=frozen_bn)
 
     def fused(state, batches, rng):
         keys = jax.random.split(rng, k)
@@ -104,7 +117,7 @@ def make_fused_train_step(module, criterion, assigner, anchors, tx,
 
 
 def _train_step_body(module, criterion, assigner, anchors, tx,
-                     mixup, pipeline, with_grads):
+                     mixup, pipeline, with_grads, frozen_bn=False):
     anchors = jnp.asarray(anchors)
 
     def train_step(state, batch, rng):
@@ -125,13 +138,22 @@ def _train_step_body(module, criterion, assigner, anchors, tx,
         target = assigner(boxes, box_mask, anchors)
 
         def loss_fn(params):
-            (scores, locs), mutated = module.apply(
-                {'params': params, 'batch_stats': state.batch_stats},
-                images, train=True, mutable=['batch_stats'])
+            if frozen_bn:
+                # running-stat normalization, stats not updated (train=False
+                # only gates BN in every zoo module); params still train
+                scores, locs = module.apply(
+                    {'params': params, 'batch_stats': state.batch_stats},
+                    images, train=False)
+                new_stats = state.batch_stats
+            else:
+                (scores, locs), mutated = module.apply(
+                    {'params': params, 'batch_stats': state.batch_stats},
+                    images, train=True, mutable=['batch_stats'])
+                new_stats = mutated['batch_stats']
             loss, class_loss, loc_loss = criterion(
                 scores.astype(jnp.float32), locs.astype(jnp.float32),
                 anchors, target)
-            return loss, (class_loss, loc_loss, mutated['batch_stats'])
+            return loss, (class_loss, loc_loss, new_stats)
 
         (loss, (class_loss, loc_loss, batch_stats)), grads = (
             jax.value_and_grad(loss_fn, has_aux=True)(state.params))

@@ -604,11 +604,14 @@ def test_matmul_precision_policy():
     prev = jax.config.jax_default_matmul_precision
     prev_flag = engine_mod._MATMUL_PRECISION_SET_BY_ENGINE
     prev_user = engine_mod._USER_AMBIENT_MATMUL_PRECISION
+    prev_write = engine_mod._ENGINE_LAST_MATMUL_WRITE
 
-    def reset(ambient=None, engine_set=False, user_ambient=None):
+    def reset(ambient=None, engine_set=False, user_ambient=None,
+              last_write=None):
         jax.config.update('jax_default_matmul_precision', ambient)
         engine_mod._MATMUL_PRECISION_SET_BY_ENGINE = engine_set
         engine_mod._USER_AMBIENT_MATMUL_PRECISION = user_ambient
+        engine_mod._ENGINE_LAST_MATMUL_WRITE = last_write
 
     try:
         reset()
@@ -656,5 +659,21 @@ def test_matmul_precision_policy():
         assert exp.matmul_precision == 'float32'
         exp = Experiment(load_config(SMOKE), phases=['train'], debug=True)
         assert exp.matmul_precision == 'high'
+
+        # a user's EXPLICIT jax.config change made AFTER the first
+        # Experiment is honored, not clobbered by the stale remembered
+        # ambient: the engine re-captures whenever the live config differs
+        # from what it last wrote
+        reset()
+        exp = Experiment(load_config(SMOKE), phases=['train'], debug=True)
+        assert exp.matmul_precision == 'highest'
+        jax.config.update('jax_default_matmul_precision', 'tensorfloat32')
+        exp = Experiment(load_config(SMOKE), phases=['train'], debug=True)
+        assert exp.matmul_precision == 'tensorfloat32'
+        # ...and it persists as the new ambient for later Experiments too
+        exp = Experiment(load_config(SMOKE), phases=['train'], debug=True,
+                         bf16=True)
+        assert exp.matmul_precision == 'tensorfloat32'
     finally:
-        reset(ambient=prev, engine_set=prev_flag, user_ambient=prev_user)
+        reset(ambient=prev, engine_set=prev_flag, user_ambient=prev_user,
+              last_write=prev_write)

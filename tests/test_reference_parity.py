@@ -444,34 +444,9 @@ def test_reference_detector_checkpoint_import_layout(rng, tmp_path):
     mapping = torch_import.reference_detector_mapping(
         extras_spec, num_scales=3, use_depthwise=True)
 
-    params = variables['params']
-    gen = np.random.RandomState(3)
-    sd = {}
-    for torch_prefix, path in mapping.items():
-        node = params
-        ok = True
-        for k in path:
-            if k not in node:
-                ok = False
-                break
-            node = node[k]
-        if not ok:
-            continue
-        if 'scale' in node:
-            c = node['scale'].shape[0]
-            for suffix, arr in (('weight', gen.randn(c)),
-                                ('bias', gen.randn(c)),
-                                ('running_mean', gen.randn(c)),
-                                ('running_var', np.abs(gen.randn(c)) + 0.5)):
-                sd[f'{torch_prefix}.{suffix}'] = torch.from_numpy(
-                    arr.astype(np.float32))
-        elif 'kernel' in node:
-            kh, kw, cin, cout = node['kernel'].shape
-            sd[f'{torch_prefix}.weight'] = torch.from_numpy(
-                gen.randn(cout, cin, kh, kw).astype(np.float32))
-            if 'bias' in node:
-                sd[f'{torch_prefix}.bias'] = torch.from_numpy(
-                    gen.randn(node['bias'].shape[0]).astype(np.float32))
+    from _torch_helpers import fill_synthetic_state_dict
+    sd = fill_synthetic_state_dict(variables['params'], mapping,
+                                   np.random.RandomState(3))
     assert any(k.startswith('predictor.extras') for k in sd)
     assert any(k.startswith('predictor.heads') for k in sd)
 

@@ -6,6 +6,7 @@ import torch.nn.functional as F
 
 from single_shot_detection_tpu.models import builder
 from single_shot_detection_tpu.utils import torch_import
+from _torch_helpers import fill_synthetic_state_dict
 
 
 def synthetic_mbv2_state_dict(variables, rng):
@@ -176,45 +177,6 @@ def test_vgg_nonbn_mapping_indices():
     assert m_bn['features.3'] == ('conv1',)
 
 
-def _fill_synthetic_state_dict(params, stats, mapping, rng):
-    """Random torch tensors whose shapes reverse-map onto our params."""
-    sd = {}
-    for torch_prefix, path in mapping.items():
-        node = params
-        ok = True
-        for k in path:
-            if k not in node:
-                ok = False
-                break
-            node = node[k]
-        if not ok:
-            continue
-        if 'scale' in node:
-            c = node['scale'].shape[0]
-            sd[f'{torch_prefix}.weight'] = torch.from_numpy(
-                rng.randn(c).astype(np.float32))
-            sd[f'{torch_prefix}.bias'] = torch.from_numpy(
-                rng.randn(c).astype(np.float32))
-            sd[f'{torch_prefix}.running_mean'] = torch.from_numpy(
-                rng.randn(c).astype(np.float32))
-            sd[f'{torch_prefix}.running_var'] = torch.from_numpy(
-                np.abs(rng.randn(c)).astype(np.float32) + 0.5)
-        elif 'kernel' in node:
-            shp = node['kernel'].shape
-            if len(shp) == 4:
-                kh, kw, cin, cout = shp
-                sd[f'{torch_prefix}.weight'] = torch.from_numpy(
-                    rng.randn(cout, cin, kh, kw).astype(np.float32))
-            else:
-                cin, cout = shp
-                sd[f'{torch_prefix}.weight'] = torch.from_numpy(
-                    rng.randn(cout, cin).astype(np.float32))
-            if 'bias' in node:
-                sd[f'{torch_prefix}.bias'] = torch.from_numpy(
-                    rng.randn(node['bias'].shape[0]).astype(np.float32))
-    return sd
-
-
 def test_se_resnet_import_and_se_gate_numerics(rng):
     """SE-net import: a tiny SEResNet, synthetic pretrainedmodels-layout
     state_dict, plus NUMERICAL parity of the imported SE gate vs hand-written
@@ -230,7 +192,7 @@ def test_se_resnet_import_and_se_gate_numerics(rng):
 
     params = variables['params']
     stats = variables['batch_stats']
-    sd = _fill_synthetic_state_dict(params, stats, mapping, rng)
+    sd = fill_synthetic_state_dict(params, mapping, rng)
     assert any('se_module.fc1' in k for k in sd)
 
     new_vars = torch_import.import_backbone(
@@ -272,8 +234,7 @@ def test_mobilenet_v1_mapping_shapes(rng):
     x = np.ones((1, 64, 64, 3), np.float32)
     variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
     mapping = torch_import.mobilenet_v1_mapping()
-    sd = _fill_synthetic_state_dict(variables['params'],
-                                    variables['batch_stats'], mapping, rng)
+    sd = fill_synthetic_state_dict(variables['params'], mapping, rng)
     # stage0: conv weight + 4 bn tensors; stages 1-13: dw/pw conv weights
     # + two 4-tensor bns each
     assert len(sd) == 5 + 13 * 10

@@ -77,6 +77,44 @@ def test_train_step_loss_decreases(tiny_setup, rng):
     assert int(state.step) == 12
 
 
+def test_frozen_bn_train_step(tiny_setup, rng):
+    """frozen_bn: running stats are normalization inputs and never update;
+    params (incl. BN scale/bias) still train; loss still decreases."""
+    bundle, anchors, coder, criterion, assigner, tx, state = tiny_setup
+    step = make_train_step(bundle.module, criterion, assigner, anchors, tx,
+                           donate=False, frozen_bn=True)
+    batch = make_batch(rng)
+    key = jax.random.PRNGKey(1)
+    stats_before = jax.tree_util.tree_map(np.asarray, state.batch_stats)
+    params_before = jax.tree_util.tree_map(np.asarray, state.params)
+
+    first = last = None
+    for i in range(12):
+        state, metrics = step(state, batch, jax.random.fold_in(key, i))
+        if first is None:
+            first = float(metrics['loss'])
+        last = float(metrics['loss'])
+    assert np.isfinite(last) and last < first
+
+    # batch statistics are bit-identical (never updated)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, np.asarray(b)),
+        stats_before, state.batch_stats)
+    # parameters moved — including a BN scale somewhere in the tree
+    leaves_before = jax.tree_util.tree_leaves_with_path(params_before)
+    after = state.params
+    moved_bn = moved_any = False
+    for path, arr in leaves_before:
+        node = after
+        for k in path:
+            node = node[k.key]
+        if not np.array_equal(arr, np.asarray(node)):
+            moved_any = True
+            if any(getattr(k, 'key', '') == 'scale' for k in path):
+                moved_bn = True
+    assert moved_any and moved_bn
+
+
 def test_eval_step_outputs(tiny_setup, rng):
     bundle, anchors, coder, criterion, assigner, tx, state = tiny_setup
     pp = Postprocessor(coder, score_threshold=0.01, max_total=20,

@@ -312,6 +312,34 @@ def test_boxes_track_content_any_transform_order(rng):
         _track_content(order)
 
 
+def test_contrast_after_geometric_warns():
+    """Contrast after a geometric transform deviates from the reference
+    (mean anchored on the full staged image, not the cropped view) — the
+    pipeline must say so at build time instead of silently diverging."""
+    import pytest as _pytest
+    spec = {'name': 'RandomAdjustContrast',
+            'args': {'contrast_delta_range': (.5, 1.5)}}
+    crop = {'name': 'RandomCrop', 'args': {'min_iou': .0}}
+    with _pytest.warns(UserWarning, match='mean anchor'):
+        Pipeline(augmentations=[crop, spec], input_size=(16, 16), train=True)
+    # ...including when the contrast hides under a OneOf
+    with _pytest.warns(UserWarning, match='mean anchor'):
+        Pipeline(augmentations=[crop, {'name': 'OneOf', 'args': {
+            'transforms': [spec, {'name': 'Identity'}]}}],
+            input_size=(16, 16), train=True)
+    # reference order (photometric first) stays silent
+    import warnings as _warnings
+    with _warnings.catch_warnings():
+        _warnings.simplefilter('error')
+        Pipeline(augmentations=[spec, crop], input_size=(16, 16), train=True)
+    # contrast and geometric in the SAME OneOf: only one branch applies,
+    # so contrast can never follow a geometric op — stays silent
+    with _warnings.catch_warnings():
+        _warnings.simplefilter('error')
+        Pipeline(augmentations=[{'name': 'OneOf', 'args': {
+            'transforms': [spec, crop]}}], input_size=(16, 16), train=True)
+
+
 def test_oneof_photometric_branches():
     """OneOf over a photometric branch (reference transforms.py:19-25 allows
     any transform under OneOf): the output must equal exactly one branch's
