@@ -34,7 +34,7 @@ def main():
 
     results = {}
     rng = np.random.RandomState(0)
-    for batch in (1, 8, 32):
+    for batch in (1, 8, 32, 128):
         images = jnp.asarray(rng.rand(batch, 300, 300, 3).astype(np.float32))
         out = infer(variables, images)
         jax.block_until_ready(out)

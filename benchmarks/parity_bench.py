@@ -95,7 +95,7 @@ def build_from_config(path, dtype):
     return cfg, bundle, criterion, assigner, postprocessor, tx
 
 
-def bench_config(name, batch, dtype, steps):
+def bench_config(name, batch, dtype, steps, frozen_bn=False):
     from single_shot_detection_tpu.train import (create_train_state,
                                                  make_train_step)
     from single_shot_detection_tpu.train.step import make_predict_step
@@ -112,7 +112,7 @@ def bench_config(name, batch, dtype, steps):
     n_params = sum(np.prod(x.shape) for x in
                    jax.tree_util.tree_leaves(state.params))
     step = make_train_step(bundle.module, criterion, assigner, anchors, tx,
-                           donate=True)
+                           donate=True, frozen_bn=frozen_bn)
     batch_data = synth_batch(batch, input_size, bundle.num_classes)
 
     key = jax.random.PRNGKey(1)
@@ -155,6 +155,8 @@ def bench_config(name, batch, dtype, steps):
         'compile_s': round(compile_s, 1),
         'dtype': str(jnp.zeros((), dtype).dtype),
     }
+    if frozen_bn:
+        row['frozen_bn'] = True
     print(json.dumps(row), flush=True)
     return row
 
@@ -167,6 +169,12 @@ def main():
                     help='comma-separated subset of config file names')
     ap.add_argument('--no-aligned', action='store_true',
                     help='skip the extra tile-aligned-batch rows (ALIGNED)')
+    ap.add_argument('--frozen-bn', action='store_true',
+                    help='measure the frozen-BN fine-tune step (running-stat '
+                         'normalization, no batch-stat reductions; '
+                         'train.frozen_bn)')
+    ap.add_argument('--batch', type=int, default=None,
+                    help='override the reference batch size for every config')
     args = ap.parse_args()
     dtype = jnp.bfloat16 if args.dtype == 'bf16' else jnp.float32
 
@@ -174,10 +182,12 @@ def main():
     for name, batch in PARITY:
         if args.configs and name.replace('.py', '') not in args.configs:
             continue
-        rows.append(_retry(bench_config, name, batch, dtype, args.steps))
-        if name in ALIGNED and not args.no_aligned:
+        batch = args.batch or batch
+        rows.append(_retry(bench_config, name, batch, dtype, args.steps,
+                           frozen_bn=args.frozen_bn))
+        if name in ALIGNED and not args.no_aligned and args.batch is None:
             rows.append(_retry(bench_config, name, ALIGNED[name], dtype,
-                               args.steps))
+                               args.steps, frozen_bn=args.frozen_bn))
 
     print('\nconfig                      batch  train img/s   ms/step  infer img/s')
     for r in rows:
