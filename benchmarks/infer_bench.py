@@ -2,9 +2,11 @@
 
 The north-star metric includes inference images/sec (BASELINE.md); this
 measures the full fused inference program (the exported-model path) for
-SSD300-MobileNetV2 at several batch sizes.
+SSD300-MobileNetV2 at several batch sizes.  ``--int8`` benches the
+calibrated int8 serving path (export/quantize.py) instead.
 """
 
+import argparse
 import json
 import time
 
@@ -17,6 +19,11 @@ def main():
     import __graft_entry__ as ge
     from single_shot_detection_tpu.ops.postprocess import Postprocessor
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--int8', action='store_true',
+                    help='bench the calibrated int8 PTQ serving path')
+    args = ap.parse_args()
+
     on_tpu = jax.devices()[0].platform != 'cpu'
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     bundle = ge._flagship(img_size=300, dtype=dtype)
@@ -26,11 +33,19 @@ def main():
                        nms={'max_per_class': 100, 'overlap_threshold': 0.45})
     variables = bundle.init(jax.random.PRNGKey(0))
 
-    @jax.jit
-    def infer(variables, images):
-        scores, locs = bundle.module.apply(variables, images, train=False)
-        return pp(scores.astype(jnp.float32), locs.astype(jnp.float32),
-                  anchors)
+    if args.int8:
+        from single_shot_detection_tpu.export import quantize
+        calib = jnp.asarray(
+            np.random.RandomState(7).rand(8, 300, 300, 3).astype(np.float32))
+        amax = quantize.calibrate(bundle.module, variables, [calib])
+        infer = quantize.make_quantized_predict_step(
+            bundle.module, pp, anchors, amax)
+    else:
+        @jax.jit
+        def infer(variables, images):
+            scores, locs = bundle.module.apply(variables, images, train=False)
+            return pp(scores.astype(jnp.float32), locs.astype(jnp.float32),
+                      anchors)
 
     results = {}
     rng = np.random.RandomState(0)
@@ -60,6 +75,8 @@ def main():
             jax.block_until_ready(outs[-1])
             dt = time.perf_counter() - t0
         results[f'b{batch}_img_s'] = round(batch * n / dt, 1)
+    if args.int8:
+        results['int8'] = True
     print(json.dumps(results))
 
 

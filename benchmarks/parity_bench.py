@@ -95,7 +95,7 @@ def build_from_config(path, dtype):
     return cfg, bundle, criterion, assigner, postprocessor, tx
 
 
-def bench_config(name, batch, dtype, steps, frozen_bn=False):
+def bench_config(name, batch, dtype, steps, frozen_bn=False, int8=False):
     from single_shot_detection_tpu.train import (create_train_state,
                                                  make_train_step)
     from single_shot_detection_tpu.train.step import make_predict_step
@@ -131,8 +131,15 @@ def bench_config(name, batch, dtype, steps, frozen_bn=False):
     train_img_s = batch * steps / elapsed
 
     # fused inference: forward + on-chip postprocess
-    predict = make_predict_step(bundle.module, postprocessor, anchors)
     variables = {'params': state.params, 'batch_stats': state.batch_stats}
+    if int8:
+        from single_shot_detection_tpu.export import quantize
+        amax = quantize.calibrate(bundle.module, variables,
+                                  [batch_data['image']])
+        predict = quantize.make_quantized_predict_step(
+            bundle.module, postprocessor, anchors, amax)
+    else:
+        predict = make_predict_step(bundle.module, postprocessor, anchors)
     out = predict(variables, batch_data['image'])
     jax.block_until_ready(out)
     elapsed = None
@@ -157,6 +164,8 @@ def bench_config(name, batch, dtype, steps, frozen_bn=False):
     }
     if frozen_bn:
         row['frozen_bn'] = True
+    if int8:
+        row['int8_infer'] = True
     print(json.dumps(row), flush=True)
     return row
 
@@ -175,6 +184,9 @@ def main():
                          'train.frozen_bn)')
     ap.add_argument('--batch', type=int, default=None,
                     help='override the reference batch size for every config')
+    ap.add_argument('--int8', action='store_true',
+                    help='run the inference column through the calibrated '
+                         'int8 PTQ path (export/quantize.py)')
     args = ap.parse_args()
     dtype = jnp.bfloat16 if args.dtype == 'bf16' else jnp.float32
 
@@ -184,10 +196,11 @@ def main():
             continue
         batch = args.batch or batch
         rows.append(_retry(bench_config, name, batch, dtype, args.steps,
-                           frozen_bn=args.frozen_bn))
+                           frozen_bn=args.frozen_bn, int8=args.int8))
         if name in ALIGNED and not args.no_aligned and args.batch is None:
             rows.append(_retry(bench_config, name, ALIGNED[name], dtype,
-                               args.steps, frozen_bn=args.frozen_bn))
+                               args.steps, frozen_bn=args.frozen_bn,
+                               int8=args.int8))
 
     print('\nconfig                      batch  train img/s   ms/step  infer img/s')
     for r in rows:

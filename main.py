@@ -37,6 +37,10 @@ def get_argparser():
                         help='Force CPU backend')
     parser.add_argument('--bf16', default=False, action='store_true',
                         help='bfloat16 compute (TPU-native mixed precision)')
+    parser.add_argument('--int8', default=False, action='store_true',
+                        help='int8 PTQ serving for eval/test/export: convs '
+                             'run s8xs8->s32 on the MXU, calibrated on eval '
+                             'batches (the OpenVINO-deployment analog)')
     parser.add_argument('--matmul-precision', type=str, default=None,
                         choices=['default', 'high', 'highest',
                                  'bfloat16', 'tensorfloat32', 'float32'],
@@ -114,6 +118,7 @@ def main(args):
                             load_weights=args.load_weights,
                             debug=args.debug,
                             bf16=args.bf16,
+                            int8=args.int8,
                             matmul_precision=args.matmul_precision,
                             tensorboard=args.tensorboard,
                             process_count=process_count,
@@ -146,7 +151,7 @@ def main(args):
 
     if 'export' in args.phases:
         from single_shot_detection_tpu.export import export_model
-        export_model(experiment, 'exported/model')
+        export_model(experiment, 'exported/model', int8=args.int8)
 
 
 if __name__ == '__main__':

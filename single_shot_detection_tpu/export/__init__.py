@@ -33,24 +33,57 @@ def _deploy_model(experiment):
     return experiment.bundle.module, variables
 
 
-def make_inference_fn(experiment, with_postprocess: bool = False):
+def _calibration_images(experiment, n_batches: int = 2):
+    """Pull eval batches through the eval pipeline for int8 calibration."""
+    loader = (experiment.loaders.get('eval')
+              or next(iter(experiment.loaders.values())))
+    images = []
+    for bidx, batch in enumerate(loader):
+        raw = experiment._shard({'image': batch['image'],
+                                 'boxes': batch['boxes'],
+                                 'box_mask': batch['box_mask'],
+                                 'ids': batch['ids']})
+        images.append(experiment._augment(raw, train=False,
+                                          salt=bidx)['image'])
+        if bidx + 1 >= n_batches:
+            break
+    return images
+
+
+def make_inference_fn(experiment, with_postprocess: bool = False,
+                      int8: bool = False):
     """Build the standalone inference function.
 
     Default (parity with onnx export, detector.py:68-72): returns softmaxed
     scores + decoded corner boxes.  ``with_postprocess=True`` additionally
-    bakes NMS in (engine-side NMS, the mo_add_output analog).
+    bakes NMS in (engine-side NMS, the mo_add_output analog).  ``int8``
+    calibrates on eval batches and bakes the quantized convs + scales into
+    the artifact (the OpenVINO int8-deployment analog).
     """
-    module, _ = _deploy_model(experiment)
-    return _make_inference_fn_for(experiment, module, with_postprocess)
+    module, variables = _deploy_model(experiment)
+    return _make_inference_fn_for(experiment, module, with_postprocess,
+                                  variables=variables, int8=int8)
 
 
-def _make_inference_fn_for(experiment, module, with_postprocess):
+def _make_inference_fn_for(experiment, module, with_postprocess,
+                           variables=None, int8=False):
     anchors = jnp.asarray(experiment.anchors)
     coder = experiment.box_coder
     postprocessor = experiment.postprocessor
+    apply_fn = module.apply
+    if int8:
+        from single_shot_detection_tpu.export import quantize
+        opts = dict(experiment.cfg.int8 or {})
+        amax = quantize.calibrate(
+            module, variables,
+            _calibration_images(
+                experiment, int(opts.get('calibration_batches', 2))))
+        apply_fn = quantize.quantized_apply(
+            module, amax, spatial_limit=opts.get('spatial_limit'))
+        logging.info(f'>> int8 export: calibrated {len(amax)} convs')
 
     def infer(variables, images):
-        scores, locs = module.apply(variables, images, train=False)
+        scores, locs = apply_fn(variables, images, train=False)
         scores = scores.astype(jnp.float32)
         locs = locs.astype(jnp.float32)
         if with_postprocess:
@@ -64,15 +97,17 @@ def _make_inference_fn_for(experiment, module, with_postprocess):
 
 
 def export_model(experiment, path: str, with_postprocess: bool = False,
-                 batch_size: int = 1):
+                 batch_size: int = 1, int8: bool = False):
     """Serialize the inference function to StableHLO bytes at ``path``.
 
     Parity: main.py:128 export phase -> exported/model.onnx; here the
     artifact is ``<path>.stablehlo`` loadable via ``jax.export.deserialize``.
+    ``int8`` bakes calibrated int8 convs into the artifact.
     """
     os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
     module, variables = _deploy_model(experiment)
-    infer = _make_inference_fn_for(experiment, module, with_postprocess)
+    infer = _make_inference_fn_for(experiment, module, with_postprocess,
+                                   variables=variables, int8=int8)
     w, h = experiment.input_size
     images = jnp.zeros((batch_size, h, w, 3), jnp.float32)
 

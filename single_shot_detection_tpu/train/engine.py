@@ -105,6 +105,7 @@ class Experiment:
                  load_weights: bool = False,
                  debug: bool = False,
                  bf16: bool = False,
+                 int8: bool = False,
                  matmul_precision: Optional[str] = None,
                  tensorboard: bool = False,
                  seed: Optional[int] = None,
@@ -428,6 +429,11 @@ class Experiment:
             self.postprocessor)
         self.predict_step = make_predict_step(
             self.bundle.module, self.postprocessor, self.anchors)
+        # int8 PTQ serving (export/quantize.py, the OpenVINO-deployment
+        # analog): calibration is lazy — it needs real eval batches — and
+        # swaps eval/predict to the quantized forward on first use
+        self.int8 = bool(int8)
+        self._int8_amax = None
 
         self._writer = None
         if self.tensorboard and self.checkpoint_dir:
@@ -645,8 +651,46 @@ class Experiment:
         return row, count
 
     # ------------------------------------------------------------------- eval
+    def _ensure_int8(self):
+        """Calibrate once on real eval batches and swap the eval/predict
+        steps to the int8 forward (``--int8``; export/quantize.py)."""
+        if not self.int8 or self._int8_amax is not None:
+            return
+        from single_shot_detection_tpu.export import quantize
+        # optional config block: int8 = {'calibration_batches': N,
+        # 'spatial_limit': S} (see export/quantize.py on when S matters)
+        opts = dict(self.cfg.int8 or {})
+        n_batches = int(opts.get('calibration_batches', 2))
+        variables = {'params': self.state.params,
+                     'batch_stats': self.state.batch_stats}
+        images = []
+        loader = self.loaders.get('eval') or next(iter(self.loaders.values()))
+        for bidx, batch in enumerate(loader):
+            raw = self._shard({'image': batch['image'],
+                               'boxes': batch['boxes'],
+                               'box_mask': batch['box_mask'],
+                               'ids': batch['ids']})
+            images.append(self._augment(raw, train=False,
+                                        salt=bidx)['image'])
+            if bidx + 1 >= n_batches:
+                break
+        self._int8_amax = quantize.calibrate(self.bundle.module, variables,
+                                             images)
+        apply_fn = quantize.quantized_apply(
+            self.bundle.module, self._int8_amax,
+            spatial_limit=opts.get('spatial_limit'))
+        self.eval_step = make_eval_step(
+            self.bundle.module, self.criterion, self.assigner, self.anchors,
+            self.postprocessor, apply_fn=apply_fn)
+        self.predict_step = make_predict_step(
+            self.bundle.module, self.postprocessor, self.anchors,
+            apply_fn=apply_fn)
+        logging.info(f'>> int8: calibrated {len(self._int8_amax)} convs '
+                     f'on {len(images)} batches')
+
     def evaluate(self) -> dict:
         from single_shot_detection_tpu import parallel
+        self._ensure_int8()
         loader = self.loaders['eval']
         start = time.time()
         all_preds = []
@@ -773,6 +817,7 @@ class Experiment:
         """Single-image inference (parity: detector_wrapper.py:49-65):
         resize -> normalize -> forward -> postprocess -> rescale to source."""
         from single_shot_detection_tpu.data.loader import stage_image
+        self._ensure_int8()
         h, w = image.shape[:2]
         staged, _ = stage_image(image, np.zeros((0, 6), np.float32),
                                 self.input_size)

@@ -178,16 +178,22 @@ def _train_step_body(module, criterion, assigner, anchors, tx,
 
 
 def make_eval_step(module, criterion, assigner, anchors,
-                   postprocessor) -> Callable:
+                   postprocessor, apply_fn: Optional[Callable] = None
+                   ) -> Callable:
     """Build the jitted eval step (parity: eval.py:43-57 + init.py:118-123):
-    forward + loss + batched postprocess, all on-chip."""
+    forward + loss + batched postprocess, all on-chip.
+
+    ``apply_fn`` overrides ``module.apply`` — e.g. the calibrated int8
+    forward from ``export.quantize.quantized_apply``.
+    """
     anchors = jnp.asarray(anchors)
+    apply_fn = apply_fn if apply_fn is not None else module.apply
 
     def eval_step(state, batch):
         images = batch['image']
         target = assigner(batch['boxes'], batch['box_mask'], anchors)
 
-        scores, locs = module.apply(
+        scores, locs = apply_fn(
             {'params': state.params, 'batch_stats': state.batch_stats},
             images, train=False)
         scores = scores.astype(jnp.float32)
@@ -205,14 +211,17 @@ def make_eval_step(module, criterion, assigner, anchors,
     return jax.jit(eval_step)
 
 
-def make_predict_step(module, postprocessor, anchors) -> Callable:
+def make_predict_step(module, postprocessor, anchors,
+                      apply_fn: Optional[Callable] = None) -> Callable:
     """Inference-only step (parity: detector_wrapper.py:49-65
-    ``predict_single``, but batched)."""
+    ``predict_single``, but batched).  ``apply_fn`` as in
+    :func:`make_eval_step`."""
     anchors = jnp.asarray(anchors)
+    apply_fn = apply_fn if apply_fn is not None else module.apply
 
     @jax.jit
     def predict_step(variables, images):
-        scores, locs = module.apply(variables, images, train=False)
+        scores, locs = apply_fn(variables, images, train=False)
         return postprocessor(scores.astype(jnp.float32),
                              locs.astype(jnp.float32), anchors)
 
