@@ -24,7 +24,11 @@ def _deploy_model(experiment):
     """(module, variables) to export: the physically-narrow rebuild when
     channels were pruned (train/materialize.py — the deploy-time analog of
     the reference's in-place surgery), else the trained model as-is."""
-    variables = {'params': experiment.state.params,
+    # EMA shadow weights when train.ema is enabled (engine._eval_params)
+    params = (experiment._eval_params()
+              if hasattr(experiment, '_eval_params')
+              else experiment.state.params)
+    variables = {'params': params,
                  'batch_stats': experiment.state.batch_stats}
     if getattr(experiment, 'pruner', None) is not None and experiment.pruner.dead:
         bundle, variables = experiment.materialize_pruned()

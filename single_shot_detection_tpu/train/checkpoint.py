@@ -133,6 +133,32 @@ def migrate_state_dict(raw: dict, template_dict: dict, rules=None) -> dict:
     return _unflatten(out)
 
 
+def _reconcile_ema(raw: dict, template_dict: dict) -> dict:
+    """EMA shadow params (state.py ``ema_params``) are auxiliary: a
+    checkpoint written before EMA existed (or with it disabled) seeds the
+    shadow from its own restored params; one written WITH EMA restored
+    into an EMA-disabled run drops it.  Everything outside ``ema_params``
+    is untouched — real mismatches still fail loudly in
+    ``from_state_dict``."""
+    flat, want = _flatten(raw), _flatten(template_dict)
+    if flat.keys() == want.keys():
+        return raw
+    out = {k: v for k, v in flat.items()
+           if k[0] != 'ema_params' or k in want}
+    filled = 0
+    for k, v in want.items():
+        if k not in out and k[0] == 'ema_params':
+            # seed the shadow from the checkpoint's own weights — as a
+            # COPY: params/ema_params aliasing breaks step donation
+            src = flat.get(('params',) + k[1:], v)
+            out[k] = src.copy() if hasattr(src, 'copy') else src
+            filled += 1
+    if filled:
+        logging.info(f'>> checkpoint predates EMA: seeded {filled} '
+                     'ema_params leaves from its params')
+    return _unflatten(out)
+
+
 def restore(path: str, template_state, rules=None) -> Tuple[object, dict]:
     """Restore a state pytree into the template's structure; returns
     (state, meta) (parity: helpers.py:44-66).  Checkpoints whose parameter
@@ -142,6 +168,7 @@ def restore(path: str, template_state, rules=None) -> Tuple[object, dict]:
     template_dict = serialization.to_state_dict(template_state)
     if _flatten(raw).keys() != _flatten(template_dict).keys():
         raw = migrate_state_dict(raw, template_dict, rules)
+        raw = _reconcile_ema(raw, template_dict)
     state = serialization.from_state_dict(template_state, raw)
     meta = {'epoch': 0, 'global_step': int(jax.device_get(state.step))}
     meta_path = path + '.meta.json'

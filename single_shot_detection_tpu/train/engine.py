@@ -301,13 +301,22 @@ class Experiment:
             cpu_devices = jax.local_devices(backend='cpu')
         except RuntimeError:
             pass
+        # EMA of params (train.ema, beyond-parity): eval/serving read the
+        # shadow weights; accepts {'decay': d} or a bare decay float
+        ema_cfg = train_cfg.get('ema')
+        if isinstance(ema_cfg, dict):
+            self.ema_decay = float(ema_cfg['decay'])
+        else:
+            self.ema_decay = float(ema_cfg) if ema_cfg else None
         if cpu_devices and jax.devices()[0].platform != 'cpu':
             with jax.default_device(cpu_devices[0]):
                 variables = self.bundle.init(init_rng, batch_size=1)
-            self.state = create_train_state(variables, self.tx)
+            self.state = create_train_state(variables, self.tx,
+                                            ema=self.ema_decay is not None)
         else:
             variables = self.bundle.init(init_rng, batch_size=1)
-            self.state = create_train_state(variables, self.tx)
+            self.state = create_train_state(variables, self.tx,
+                                            ema=self.ema_decay is not None)
         # replicate across the mesh (the jitted steps then see a consistent
         # device assignment for state + sharded batch)
         self.state = jax.device_put(self.state, self._replicated)
@@ -408,7 +417,8 @@ class Experiment:
             self.tx, mixup=train_cfg.get('mixup'),
             pipeline=self.train_pipeline,
             with_grads=self._needs_taylor,
-            frozen_bn=self.frozen_bn)
+            frozen_bn=self.frozen_bn,
+            ema=self.ema_decay)
         # k steps per dispatch via lax.scan — amortizes dispatch/readback
         # round trips (dominant on remote-TPU transports; see docs/PERF.md)
         self.fused_steps = int(train_cfg.get('fused_steps', 1))
@@ -423,7 +433,7 @@ class Experiment:
                 self.bundle.module, self.criterion, self.assigner,
                 self.anchors, self.tx, k=self.fused_steps,
                 mixup=train_cfg.get('mixup'), pipeline=self.train_pipeline,
-                frozen_bn=self.frozen_bn)
+                frozen_bn=self.frozen_bn, ema=self.ema_decay)
         self.eval_step = make_eval_step(
             self.bundle.module, self.criterion, self.assigner, self.anchors,
             self.postprocessor)
@@ -651,6 +661,13 @@ class Experiment:
         return row, count
 
     # ------------------------------------------------------------------- eval
+    def _eval_params(self):
+        """Params for eval/serving: the EMA shadow when ``train.ema`` is
+        enabled and populated, else the live params."""
+        if self.ema_decay is not None and self.state.ema_params:
+            return self.state.ema_params
+        return self.state.params
+
     def _ensure_int8(self):
         """Calibrate once on real eval batches and swap the eval/predict
         steps to the int8 forward (``--int8``; export/quantize.py)."""
@@ -661,7 +678,7 @@ class Experiment:
         # 'spatial_limit': S} (see export/quantize.py on when S matters)
         opts = dict(self.cfg.int8 or {})
         n_batches = int(opts.get('calibration_batches', 2))
-        variables = {'params': self.state.params,
+        variables = {'params': self._eval_params(),
                      'batch_stats': self.state.batch_stats}
         images = []
         loader = self.loaders.get('eval') or next(iter(self.loaders.values()))
@@ -691,6 +708,8 @@ class Experiment:
     def evaluate(self) -> dict:
         from single_shot_detection_tpu import parallel
         self._ensure_int8()
+        # EMA weights for eval when enabled (identical state otherwise)
+        eval_state = self.state.replace(params=self._eval_params())
         loader = self.loaders['eval']
         start = time.time()
         all_preds = []
@@ -709,7 +728,7 @@ class Experiment:
             # padding rows of the last partial batch carry id -1 and must not
             # contribute eval loss (they would each add hard negatives)
             device_batch['image_valid'] = raw['ids'] >= 0
-            metrics, dets, valid = self.eval_step(self.state, device_batch)
+            metrics, dets, valid = self.eval_step(eval_state, device_batch)
             count += 1
             for k in sums:
                 sums[k] += float(metrics[k])
@@ -807,9 +826,10 @@ class Experiment:
         if self.pruner is None or not self.pruner.dead:
             raise ValueError('nothing pruned to materialize')
         from single_shot_detection_tpu.train.materialize import materialize_bundle
+        # _eval_params: EMA shadow weights when train.ema is enabled
         return materialize_bundle(
             self.bundle,
-            {'params': self.state.params,
+            {'params': self._eval_params(),
              'batch_stats': self.state.batch_stats},
             self.pruner.dead, spaces=self.pruner.spaces)
 
@@ -825,7 +845,7 @@ class Experiment:
             self.rng, jax.device_put(staged[None], self._replicated),
             jax.device_put(np.zeros((1, 1, 7), np.float32), self._replicated),
             jax.device_put(np.zeros((1, 1), bool), self._replicated))
-        variables = {'params': self.state.params,
+        variables = {'params': self._eval_params(),
                      'batch_stats': self.state.batch_stats}
         dets, valid = self.predict_step(variables, img)
         dets = np.array(dets[0][np.asarray(valid[0])])

@@ -61,7 +61,8 @@ def make_train_step(module,
                     pipeline=None,
                     donate: bool = True,
                     with_grads: bool = False,
-                    frozen_bn: bool = False) -> Callable:
+                    frozen_bn: bool = False,
+                    ema: Optional[float] = None) -> Callable:
     """Build the jitted train step (parity: init.py:101-135 ``step_fn`` +
     callbacks optimizer/loss/mixup).
 
@@ -79,9 +80,16 @@ def make_train_step(module,
     docs/PERF.md) disappear from the program, and multi-host runs need no
     cross-host stat sync.  Meaningless from random init (running stats are
     the 0/1 identity).
+
+    ``ema`` (beyond-parity extension): exponential-moving-average decay for
+    a shadow copy of the params (``state.ema_params``), updated in-step
+    (fused elementwise — negligible on TPU) with the standard warmup ramp
+    ``min(ema, (1 + t) / (10 + t))`` so short runs aren't dominated by the
+    random init.  Eval/serving read the EMA weights (engine ``train.ema``).
     """
     train_step = _train_step_body(module, criterion, assigner, anchors, tx,
-                                  mixup, pipeline, with_grads, frozen_bn)
+                                  mixup, pipeline, with_grads, frozen_bn,
+                                  ema)
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
@@ -90,7 +98,8 @@ def make_fused_train_step(module, criterion, assigner, anchors, tx,
                           mixup: Optional[dict] = None,
                           pipeline=None,
                           donate: bool = True,
-                          frozen_bn: bool = False) -> Callable:
+                          frozen_bn: bool = False,
+                          ema: Optional[float] = None) -> Callable:
     """``k`` train steps per XLA dispatch via ``lax.scan``.
 
     Dispatch/readback round trips dominate small-model steps on remote
@@ -100,7 +109,7 @@ def make_fused_train_step(module, criterion, assigner, anchors, tx,
     """
     body = _train_step_body(module, criterion, assigner, anchors, tx,
                             mixup, pipeline, with_grads=False,
-                            frozen_bn=frozen_bn)
+                            frozen_bn=frozen_bn, ema=ema)
 
     def fused(state, batches, rng):
         keys = jax.random.split(rng, k)
@@ -117,7 +126,8 @@ def make_fused_train_step(module, criterion, assigner, anchors, tx,
 
 
 def _train_step_body(module, criterion, assigner, anchors, tx,
-                     mixup, pipeline, with_grads, frozen_bn=False):
+                     mixup, pipeline, with_grads, frozen_bn=False,
+                     ema=None):
     anchors = jnp.asarray(anchors)
 
     def train_step(state, batch, rng):
@@ -162,10 +172,20 @@ def _train_step_body(module, criterion, assigner, anchors, tx,
         updates = jax.tree_util.tree_map(lambda u: u * state.lr_scale, updates)
         params = optax.apply_updates(state.params, updates)
 
+        ema_params = state.ema_params
+        if ema is not None:
+            step = (state.step + 1).astype(jnp.float32)
+            decay = jnp.minimum(jnp.float32(ema),
+                                (1.0 + step) / (10.0 + step))
+            ema_params = jax.tree_util.tree_map(
+                lambda e, p: e + (1.0 - decay) * (p.astype(e.dtype) - e),
+                state.ema_params, params)
+
         new_state = state.replace(step=state.step + 1,
                                   params=params,
                                   batch_stats=batch_stats,
-                                  opt_state=opt_state)
+                                  opt_state=opt_state,
+                                  ema_params=ema_params)
         metrics = {'loss': loss, 'class_loss': class_loss,
                    'loc_loss': loc_loss}
         if with_grads:
