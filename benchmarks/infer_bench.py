@@ -75,6 +75,29 @@ def main():
             jax.block_until_ready(outs[-1])
             dt = time.perf_counter() - t0
         results[f'b{batch}_img_s'] = round(batch * n / dt, 1)
+
+        # device latency: chain each call's input on the previous output
+        # (no host readback between calls) — executions serialize on the
+        # device while async dispatch hides the transport, so total/N is
+        # the true per-call device latency, free of the ~28 ms relay RTT
+        # that dominates the synchronous p50 above
+        @jax.jit
+        def infer_dep(variables, images, prev_dets):
+            img = images + 0.0 * prev_dets.ravel()[0]
+            return infer(variables, img)
+
+        dets, valid = infer(variables, images)
+        dets, valid = infer_dep(variables, images, dets)  # compile
+        jax.block_until_ready(dets)
+        best_dev = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                dets, valid = infer_dep(variables, images, dets)
+            jax.block_until_ready(dets)
+            dt = time.perf_counter() - t0
+            best_dev = dt if best_dev is None else min(best_dev, dt)
+        results[f'b{batch}_device_ms'] = round(best_dev / n * 1e3, 3)
     if args.int8:
         results['int8'] = True
     print(json.dumps(results))

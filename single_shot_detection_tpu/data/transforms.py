@@ -509,23 +509,26 @@ class Pipeline:
             if entry is not None:
                 self.stages.append(entry)
 
-        # Contrast anchored after a geometric transform deviates from the
-        # reference: its mean is taken over the full staged image, not the
-        # cropped/expanded view (see _apply_stage docstring).  Shipped
-        # reference configs never order it that way; warn loudly when a
-        # user config does instead of silently diverging.
+        # Contrast anchored after a MEAN-CHANGING geometric transform
+        # deviates from the reference: its mean is taken over the full
+        # staged image, not the cropped/expanded view (see _apply_stage
+        # docstring).  Flips/rot90 preserve the pixel multiset, so only
+        # crop/expand actually move the mean anchor.  Shipped reference
+        # configs never order it that way; warn loudly when a user config
+        # does instead of silently diverging.
         geo_seen = False
         for entry in self.stages:
             if geo_seen and _entry_contains(entry, ('contrast',)):
                 warnings.warn(
-                    'RandomAdjustContrast placed after a geometric '
-                    'transform: its mean anchor is the full staged image, '
-                    'not the cropped/expanded view the reference would '
-                    'use (pixel-level deviation; boxes are unaffected). '
-                    'Order photometric transforms before geometric ones '
-                    'for exact reference semantics.', stacklevel=2)
+                    'RandomAdjustContrast placed after RandomCrop/'
+                    'RandomExpand: its mean anchor is the full staged '
+                    'image, not the cropped/expanded view the reference '
+                    'would use (pixel-level deviation; boxes are '
+                    'unaffected). Order photometric transforms before '
+                    'geometric ones for exact reference semantics.',
+                    stacklevel=2)
                 break
-            if _entry_contains(entry, GEOMETRIC_KINDS):
+            if _entry_contains(entry, ('crop', 'expand')):
                 geo_seen = True
 
         for spec in preprocessing:

@@ -39,6 +39,11 @@ def _deploy_model(experiment):
 
 def _calibration_images(experiment, n_batches: int = 2):
     """Pull eval batches through the eval pipeline for int8 calibration."""
+    if not experiment.loaders:
+        raise ValueError(
+            'int8 calibration needs real batches but no dataset is '
+            'configured for the active phases — include an eval (or train) '
+            'dataset when using --int8')
     loader = (experiment.loaders.get('eval')
               or next(iter(experiment.loaders.values())))
     images = []
@@ -78,13 +83,28 @@ def _make_inference_fn_for(experiment, module, with_postprocess,
     if int8:
         from single_shot_detection_tpu.export import quantize
         opts = dict(experiment.cfg.int8 or {})
-        amax = quantize.calibrate(
-            module, variables,
-            _calibration_images(
-                experiment, int(opts.get('calibration_batches', 2))))
+        # an Experiment that already calibrated (--int8 eval before export)
+        # holds valid per-conv amax for ITS OWN module at the CURRENT
+        # weights; a materialized (pruned-narrow) module has different conv
+        # shapes, and training since calibration stales the scales —
+        # recalibrate in both cases
+        amax = None
+        if (module is experiment.bundle.module
+                and getattr(experiment, '_int8_amax', None) is not None
+                and getattr(experiment, '_int8_calib_step', None)
+                == int(jax.device_get(experiment.state.step))):
+            amax = experiment._int8_amax
+        if amax is None:
+            amax = quantize.calibrate(
+                module, variables,
+                _calibration_images(
+                    experiment, int(opts.get('calibration_batches', 2))))
+            logging.info(f'>> int8 export: calibrated {len(amax)} convs')
+        else:
+            logging.info(f'>> int8 export: reusing the experiment\'s '
+                         f'{len(amax)} calibrated conv scales')
         apply_fn = quantize.quantized_apply(
             module, amax, spatial_limit=opts.get('spatial_limit'))
-        logging.info(f'>> int8 export: calibrated {len(amax)} convs')
 
     def infer(variables, images):
         scores, locs = apply_fn(variables, images, train=False)

@@ -192,13 +192,7 @@ def make_quantized_predict_step(module, postprocessor, anchors,
                                 ) -> Callable:
     """Int8 twin of ``train.step.make_predict_step`` (serving path):
     quantized forward + decode + batched NMS in one XLA program."""
-    anchors = jnp.asarray(anchors)
-    apply = quantized_apply(module, amax, spatial_limit)
-
-    @jax.jit
-    def predict_step(variables, images):
-        scores, locs = apply(variables, images, train=False)
-        return postprocessor(scores.astype(jnp.float32),
-                             locs.astype(jnp.float32), anchors)
-
-    return predict_step
+    from single_shot_detection_tpu.train.step import make_predict_step
+    return make_predict_step(
+        module, postprocessor, anchors,
+        apply_fn=quantized_apply(module, amax, spatial_limit))

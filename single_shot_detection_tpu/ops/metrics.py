@@ -5,6 +5,11 @@ Functional-parity target: reference
 score-sorted predictions with per-GT dedup, VOC ``difficult`` exclusion, a
 monotone precision envelope, and VOC 11-point or continuous AP integration.
 
+Beyond parity: ``coco_mean_average_precision`` sweeps the COCO protocol's
+IoU thresholds .50:.05:.95 over ONE matching pass (the greedy argmax-IoU
+assignment is threshold-independent, so the sweep costs ~nothing more than
+a single-threshold evaluation).
+
 This runs on the host over the (small) final detections, so plain numpy is the
 right tool; the heavy work (NMS, decoding) already happened on-chip.
 """
@@ -34,24 +39,16 @@ def _iou_one_to_many(box: np.ndarray, others: np.ndarray) -> np.ndarray:
     return inter / (area_a + area_b - inter)
 
 
-def mean_average_precision(predictions,
-                           gts,
-                           class_labels,
-                           iou_threshold: float,
-                           voc: bool = False,
-                           verbose: bool = True) -> float:
-    """Vectorized mAP with the reference's exact greedy semantics.
+def _match(predictions, gts) -> dict:
+    """Threshold-independent half of the vectorized mAP.
 
     The greedy score-ordered assignment with per-GT dedup reduces to "the
     highest-scored prediction whose argmax-IoU GT is g wins g", which never
     crosses (image, class) group boundaries.  So: pack every group's GT into
-    one padded ``[G, K, 4]`` table, compute every prediction's argmax-IoU GT
-    in chunked batched numpy (no per-group python loop — COCO-scale eval is
-    ~400k groups), and resolve the dedup with ONE global ``np.unique`` over
-    ``(group, best_gt)`` keys restricted to eligible predictions, whose first
-    occurrences in global score order are exactly the winners.  Predictions
-    matched to ``difficult`` GT are ignored (neither TP nor FP), exactly as
-    mean_average_precision.py:62-69.
+    one padded ``[G, K, 4]`` table and compute every prediction's argmax-IoU
+    GT in chunked batched numpy (no per-group python loop — COCO-scale eval
+    is ~400k groups).  The IoU threshold only enters later (``_aps_at``), so
+    one matching pass serves any number of thresholds.
     """
     predictions = np.asarray(predictions, dtype=np.float64)
     if predictions.ndim != 2 or predictions.size == 0:
@@ -105,9 +102,8 @@ def mean_average_precision(predictions,
     predictions = predictions[order]
 
     n = len(predictions)
-    pred_img = predictions[:, 0].astype(np.int64)
     pred_cls = predictions[:, 5].astype(np.int64)
-    pred_key = pred_img * n_cls + pred_cls
+    pred_key = predictions[:, 0].astype(np.int64) * n_cls + pred_cls
     gidx = np.searchsorted(group_keys, pred_key)
     gidx_safe = np.minimum(gidx, max(num_groups - 1, 0))
     if num_groups:
@@ -136,22 +132,33 @@ def mean_average_precision(predictions,
             best[lo:hi] = iou.argmax(axis=1)
             best_iou[lo:hi] = iou[np.arange(hi - lo), best[lo:hi]]
 
-    above = has_gt & (best_iou > iou_threshold)
     is_difficult = (padded_difficult[gidx_safe, best] & has_gt
                     if num_groups else np.zeros(n, bool))
+    return {'pred_cls': pred_cls, 'has_gt': has_gt, 'best': best,
+            'best_iou': best_iou, 'is_difficult': is_difficult,
+            'gidx_safe': gidx_safe, 'K': K,
+            'total_positive': dict(total_positive)}
+
+
+def _aps_at(match: dict, iou_threshold: float, voc: bool) -> dict:
+    """Per-class AP at one IoU threshold from a ``_match`` result."""
+    n = len(match['pred_cls'])
+    above = match['has_gt'] & (match['best_iou'] > iou_threshold)
+    is_difficult = match['is_difficult']
 
     # first eligible prediction (global score order) per (group, GT) wins:
     # np.unique's return_index picks exactly the first occurrence
     elig = np.nonzero(above & ~is_difficult)[0]
-    _, first = np.unique(gidx_safe[elig] * K + best[elig], return_index=True)
+    _, first = np.unique(match['gidx_safe'][elig] * match['K']
+                         + match['best'][elig], return_index=True)
     tp_flag = np.zeros(n, bool)
     tp_flag[elig[first]] = True
     # matched-to-difficult predictions are ignored entirely
     fp_flag = ~tp_flag & ~(above & is_difficult)
 
+    total_positive = match['total_positive']
+    pred_cls = match['pred_cls']
     average_precision = {c: 0.0 for c in total_positive}
-    if verbose:
-        logging.info('Mean Average Precision results:')
 
     for class_index in sorted(total_positive.keys()):
         sel = pred_cls == class_index
@@ -183,7 +190,27 @@ def mean_average_precision(predictions,
             average_precision[class_index] = float(
                 np.dot(recall[1:] - recall[:-1], precision))
 
-        if verbose:
+    return average_precision
+
+
+def mean_average_precision(predictions,
+                           gts,
+                           class_labels,
+                           iou_threshold: float,
+                           voc: bool = False,
+                           verbose: bool = True) -> float:
+    """Vectorized mAP with the reference's exact greedy semantics.
+
+    Predictions matched to ``difficult`` GT are ignored (neither TP nor FP),
+    exactly as mean_average_precision.py:62-69.  See ``_match`` for the
+    vectorization strategy.
+    """
+    match = _match(predictions, gts)
+    average_precision = _aps_at(match, iou_threshold, voc)
+
+    if verbose:
+        logging.info('Mean Average Precision results:')
+        for class_index in sorted(average_precision.keys()):
             name = (class_labels.get(class_index, str(class_index))
                     if class_labels else str(class_index))
             logging.info(f'{name}: {average_precision[class_index]:6f}')
@@ -194,6 +221,40 @@ def mean_average_precision(predictions,
     if verbose:
         logging.info(f'Total mean: {map_value:6f}')
     return map_value
+
+
+COCO_THRESHOLDS = tuple(np.round(np.arange(0.50, 0.96, 0.05), 2))
+
+
+def coco_mean_average_precision(predictions,
+                                gts,
+                                class_labels=None,
+                                thresholds=COCO_THRESHOLDS,
+                                verbose: bool = True) -> dict:
+    """COCO-protocol headline numbers: mAP averaged over IoU .50:.05:.95,
+    plus the mAP@.50 and mAP@.75 cut points (beyond reference parity — the
+    reference only evaluates a single threshold).
+
+    Matching semantics are the reference's greedy argmax-IoU assignment
+    (NOT pycocotools' best-unmatched-above-threshold assignment), applied
+    at each threshold; continuous AP integration.  One matching pass
+    serves the whole sweep.  Returns ``{'mAP@[.5:.95]', 'mAP@.50',
+    'mAP@.75'}``.
+    """
+    match = _match(predictions, gts)
+    per_thr = {}
+    for thr in thresholds:
+        aps = _aps_at(match, float(thr), voc=False)
+        per_thr[float(thr)] = (sum(aps.values()) / len(aps)) if aps else 0.0
+    avg = sum(per_thr.values()) / max(len(per_thr), 1)
+    out = {'mAP@[.5:.95]': avg}
+    for cut, key in ((0.5, 'mAP@.50'), (0.75, 'mAP@.75')):
+        if any(abs(t - cut) < 1e-9 for t in per_thr):
+            out[key] = per_thr[min(per_thr, key=lambda t: abs(t - cut))]
+    if verbose:
+        logging.info('COCO-protocol mAP: ' +
+                     ' '.join(f'{k}={v:6f}' for k, v in out.items()))
+    return out
 
 
 def mean_average_precision_loop(predictions,
@@ -303,4 +364,5 @@ def mean_average_precision_loop(predictions,
 
 METRICS = {
     'mean_average_precision': mean_average_precision,
+    'coco_mean_average_precision': coco_mean_average_precision,
 }

@@ -145,14 +145,23 @@ def _reconcile_ema(raw: dict, template_dict: dict) -> dict:
         return raw
     out = {k: v for k, v in flat.items()
            if k[0] != 'ema_params' or k in want}
+    dropped = sum(1 for k in flat
+                  if k[0] == 'ema_params' and k not in want)
     filled = 0
     for k, v in want.items():
         if k not in out and k[0] == 'ema_params':
+            if k == ('ema_params',):
+                # bare empty-dict marker: the template has EMA disabled
+                out[k] = v
+                continue
             # seed the shadow from the checkpoint's own weights — as a
             # COPY: params/ema_params aliasing breaks step donation
             src = flat.get(('params',) + k[1:], v)
             out[k] = src.copy() if hasattr(src, 'copy') else src
             filled += 1
+    if dropped:
+        logging.info(f'>> checkpoint carries EMA but this run disables it: '
+                     f'dropped {dropped} ema_params leaves')
     if filled:
         logging.info(f'>> checkpoint predates EMA: seeded {filled} '
                      'ema_params leaves from its params')
@@ -182,10 +191,13 @@ def restore(path: str, template_state, rules=None) -> Tuple[object, dict]:
 
 def restore_weights_only(path: str, template_state):
     """--load-weights: restore params/batch_stats, keep fresh optimizer
-    (parity: helpers.py:56-59)."""
+    (parity: helpers.py:56-59).  The EMA shadow (already reconciled to the
+    template's structure by ``restore``) comes along too — otherwise an
+    EMA-enabled run would eval on the template's random-init shadow."""
     state, _ = restore(path, template_state)
     return template_state.replace(params=state.params,
-                                  batch_stats=state.batch_stats)
+                                  batch_stats=state.batch_stats,
+                                  ema_params=state.ema_params)
 
 
 def prepare_checkpoint_dir(save_dir: str, checkpoint: Optional[str],

@@ -344,6 +344,12 @@ class Experiment:
                 batch_stats=jax.device_put(
                     cast(new_vars.get('batch_stats', self.state.batch_stats),
                          self.state.batch_stats), self._replicated))
+            if self.ema_decay is not None:
+                # reseed the shadow from the imported weights (it was a
+                # copy of the random init) — as a copy, for step donation
+                self.state = self.state.replace(
+                    ema_params=jax.tree_util.tree_map(jnp.array,
+                                                      self.state.params))
         elif base_cfg.get('pretrained'):
             logging.warning(
                 'WW base.pretrained=True cannot download torchvision weights '
@@ -444,6 +450,7 @@ class Experiment:
         # swaps eval/predict to the quantized forward on first use
         self.int8 = bool(int8)
         self._int8_amax = None
+        self._int8_calib_step = None
 
         self._writer = None
         if self.tensorboard and self.checkpoint_dir:
@@ -669,10 +676,18 @@ class Experiment:
         return self.state.params
 
     def _ensure_int8(self):
-        """Calibrate once on real eval batches and swap the eval/predict
-        steps to the int8 forward (``--int8``; export/quantize.py)."""
-        if not self.int8 or self._int8_amax is not None:
+        """Calibrate on real eval batches and swap the eval/predict steps
+        to the int8 forward (``--int8``; export/quantize.py).  Activation
+        scales are re-calibrated whenever training has advanced since the
+        last calibration — stale amax from early-epoch weights would
+        silently clip later activations."""
+        if not self.int8:
             return
+        cur_step = int(jax.device_get(self.state.step))
+        if (self._int8_amax is not None
+                and self._int8_calib_step == cur_step):
+            return
+        from single_shot_detection_tpu import export as export_mod
         from single_shot_detection_tpu.export import quantize
         # optional config block: int8 = {'calibration_batches': N,
         # 'spatial_limit': S} (see export/quantize.py on when S matters)
@@ -680,19 +695,10 @@ class Experiment:
         n_batches = int(opts.get('calibration_batches', 2))
         variables = {'params': self._eval_params(),
                      'batch_stats': self.state.batch_stats}
-        images = []
-        loader = self.loaders.get('eval') or next(iter(self.loaders.values()))
-        for bidx, batch in enumerate(loader):
-            raw = self._shard({'image': batch['image'],
-                               'boxes': batch['boxes'],
-                               'box_mask': batch['box_mask'],
-                               'ids': batch['ids']})
-            images.append(self._augment(raw, train=False,
-                                        salt=bidx)['image'])
-            if bidx + 1 >= n_batches:
-                break
+        images = export_mod._calibration_images(self, n_batches)
         self._int8_amax = quantize.calibrate(self.bundle.module, variables,
                                              images)
+        self._int8_calib_step = cur_step
         apply_fn = quantize.quantized_apply(
             self.bundle.module, self._int8_amax,
             spatial_limit=opts.get('spatial_limit'))
@@ -755,14 +761,24 @@ class Experiment:
 
         result = {k: v / max(count, 1) for k, v in sums.items()}
         if all_gts:
+            preds_arr = np.asarray(all_preds) if all_preds else np.zeros((0, 7))
+            is_voc = self.cfg.is_voc('eval')
             result['mAP'] = metrics_ops.mean_average_precision(
-                np.asarray(all_preds) if all_preds else np.zeros((0, 7)),
+                preds_arr,
                 all_gts,
                 {i: label for i, label in
                  enumerate(self.datasets['eval'].class_labels)},
                 iou_threshold=0.5,
-                voc=self.cfg.is_voc('eval'),
+                voc=is_voc,
                 verbose=self.process_index == 0)
+            # COCO protocol (beyond parity): IoU sweep .50:.05:.95 — the
+            # natural headline for non-VOC datasets; force via config
+            # ``coco_metrics = True`` (or off with ``False``)
+            coco_flag = self.cfg.coco_metrics
+            if coco_flag or (coco_flag == {} and not is_voc):
+                result.update(metrics_ops.coco_mean_average_precision(
+                    preds_arr, all_gts,
+                    verbose=self.process_index == 0))
         elapsed = time.time() - start
         logging.info(f'[eval] finished in {elapsed // 60:.0f}m '
                      f'{elapsed % 60:.0f}s: ' +

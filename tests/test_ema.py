@@ -106,6 +106,39 @@ def test_checkpoint_roundtrip_both_directions(setup, tmp_path):
     assert restored2.ema_params == {}
 
 
+def test_restore_weights_only_carries_ema(setup, tmp_path):
+    """--load-weights / detector.weight into an EMA-enabled run must NOT
+    leave the template's random-init shadow in place (eval/export would
+    silently read untrained weights)."""
+    from single_shot_detection_tpu.train import checkpoint as ckpt
+    bundle, anchors, criterion, assigner, tx, variables = setup
+
+    # checkpoint WITH a trained-looking EMA shadow (params+2 so shadow,
+    # params and the template random-init all differ)
+    src = create_train_state(variables, tx, ema=True)
+    src = src.replace(
+        params=jax.tree_util.tree_map(lambda p: p + 1.0, src.params),
+        ema_params=jax.tree_util.tree_map(lambda p: p + 2.0, src.params))
+    path = ckpt.save(str(tmp_path / 'w'), src, epoch=0)
+    template = create_train_state(variables, tx, ema=True)
+    loaded = ckpt.restore_weights_only(path, template)
+    for got, want in zip(jax.tree_util.tree_leaves(loaded.ema_params),
+                         jax.tree_util.tree_leaves(src.ema_params)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # pre-EMA checkpoint into an EMA run: shadow seeded from ITS params,
+    # not from the template's random init
+    old = create_train_state(variables, tx)
+    old = old.replace(params=jax.tree_util.tree_map(lambda p: p + 3.0,
+                                                    old.params))
+    path2 = ckpt.save(str(tmp_path / 'w2'), old, epoch=0)
+    loaded2 = ckpt.restore_weights_only(
+        path2, create_train_state(variables, tx, ema=True))
+    for got, want in zip(jax.tree_util.tree_leaves(loaded2.ema_params),
+                         jax.tree_util.tree_leaves(old.params)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_engine_ema_eval_uses_shadow(tmp_path):
     import os
     from single_shot_detection_tpu.train.engine import Experiment

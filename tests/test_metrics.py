@@ -154,3 +154,53 @@ def test_larger_fuzz_matches_loop_oracle():
         slow = mean_average_precision_loop(preds, gts, {}, 0.5, voc=voc,
                                            verbose=False)
         assert abs(fast - slow) < 1e-9, (voc, fast, slow)
+
+
+def test_coco_sweep_matches_per_threshold_loop_oracle():
+    """COCO-protocol sweep (one matching pass, many thresholds) must equal
+    running the loop-oracle metric independently at every threshold."""
+    from single_shot_detection_tpu.ops.metrics import (
+        COCO_THRESHOLDS, coco_mean_average_precision,
+        mean_average_precision_loop)
+    rng = np.random.RandomState(11)
+    n_img, n_cls = 12, 5
+    gts = []
+    for _ in range(n_img):
+        k = rng.randint(1, 6)
+        xy = rng.rand(k, 2) * 150
+        wh = rng.rand(k, 2) * 50 + 5
+        cls = rng.randint(1, n_cls + 1, (k, 1)).astype(float)
+        gts.append(np.concatenate([xy, xy + wh, cls, np.ones((k, 1)),
+                                   np.zeros((k, 1))], 1))
+    rows = []
+    for i in range(n_img):
+        for _ in range(rng.randint(2, 15)):
+            if rng.rand() < 0.7:
+                base = gts[i][rng.randint(len(gts[i]))]
+                box = base[:4] + rng.randn(4) * 4
+                c = base[4]
+            else:
+                xy = rng.rand(2) * 150
+                box = np.concatenate([xy, xy + rng.rand(2) * 50 + 5])
+                c = rng.randint(1, n_cls + 1)
+            rows.append([i, *box, c, rng.rand()])
+    preds = np.asarray(rows)
+
+    got = coco_mean_average_precision(preds, gts, verbose=False)
+    per_thr = [mean_average_precision_loop(preds, gts, {}, float(t),
+                                           voc=False, verbose=False)
+               for t in COCO_THRESHOLDS]
+    np.testing.assert_allclose(got['mAP@[.5:.95]'],
+                               float(np.mean(per_thr)), atol=1e-9)
+    np.testing.assert_allclose(got['mAP@.50'], per_thr[0], atol=1e-9)
+    # threshold 0.75 is index 5 in .50:.05:.95
+    np.testing.assert_allclose(got['mAP@.75'], per_thr[5], atol=1e-9)
+    # monotone: stricter IoU can only lower the metric
+    assert got['mAP@.50'] >= got['mAP@.75'] >= 0.0
+
+
+def test_coco_sweep_empty_inputs():
+    from single_shot_detection_tpu.ops.metrics import \
+        coco_mean_average_precision
+    out = coco_mean_average_precision(np.zeros((0, 7)), [], verbose=False)
+    assert out['mAP@[.5:.95]'] == 0.0

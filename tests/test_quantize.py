@@ -140,3 +140,45 @@ def test_int8_eval_keeps_map_on_trained_checkpoint():
     assert exp._int8_amax, 'calibration did not run'
     # float mAP is 0.671; int8 PTQ must stay in the same regime
     assert metrics['mAP'] > 0.55, metrics
+
+
+def test_int8_recalibrates_when_training_advances():
+    """Activation amax calibrated at step N must be invalidated once
+    training moves past N — stale early-epoch scales silently clip later
+    activations (engine._ensure_int8 staleness guard)."""
+    from single_shot_detection_tpu.train.engine import Experiment
+    from single_shot_detection_tpu.utils.config import load_config
+
+    smoke = os.path.join(os.path.dirname(__file__), '..', 'samples',
+                         'synthetic_smoke.py')
+    cfg = load_config(smoke)
+    cfg.config.train = dict(cfg.config.train)
+    cfg.config.train['epochs'] = 1
+    exp = Experiment(cfg, phases=['train', 'eval'], debug=True, int8=True)
+
+    exp._ensure_int8()
+    amax0 = dict(exp._int8_amax)
+    step0 = exp._int8_calib_step
+    # same weights -> cached (the dict object is reused, not rebuilt)
+    exp._ensure_int8()
+    assert exp._int8_amax is not None and exp._int8_calib_step == step0
+
+    exp.train()
+    assert int(jax.device_get(exp.state.step)) > step0
+    exp._ensure_int8()
+    assert exp._int8_calib_step == int(jax.device_get(exp.state.step))
+    assert exp._int8_calib_step != step0
+    # the scales were actually recomputed from the trained weights
+    assert set(amax0) == set(exp._int8_amax)
+
+
+def test_int8_without_dataset_is_a_clear_error():
+    """--phases export --int8 has no loaders; calibration must raise a
+    clear ValueError, not a bare StopIteration."""
+    from single_shot_detection_tpu import export as export_mod
+
+    class _NoLoaders:
+        loaders = {}
+
+    with pytest.raises(ValueError, match='int8 calibration'):
+        export_mod._calibration_images(_NoLoaders())

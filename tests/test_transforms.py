@@ -338,6 +338,13 @@ def test_contrast_after_geometric_warns():
         _warnings.simplefilter('error')
         Pipeline(augmentations=[{'name': 'OneOf', 'args': {
             'transforms': [spec, crop]}}], input_size=(16, 16), train=True)
+    # flips/rot90 preserve the pixel multiset — the contrast mean is
+    # identical either way, so contrast after them stays silent
+    with _warnings.catch_warnings():
+        _warnings.simplefilter('error')
+        Pipeline(augmentations=[{'name': 'RandomHorizontalFlip'},
+                                {'name': 'RandomRotate'}, spec],
+                 input_size=(16, 16), train=True)
 
 
 def test_oneof_photometric_branches():
