@@ -94,15 +94,22 @@ def _make_inference_fn_for(experiment, module, with_postprocess,
                 and getattr(experiment, '_int8_calib_step', None)
                 == int(jax.device_get(experiment.state.step))):
             amax = experiment._int8_amax
+            logging.info(f'>> int8 export: reusing the experiment\'s '
+                         f'{len(amax)} calibrated conv scales')
+        if (amax is None and module is experiment.bundle.module
+                and getattr(experiment, 'qat_apply', None) is not None):
+            # QAT run: activation scales were learned during training
+            amax = quantize.amax_from_batch_stats(
+                experiment.state.batch_stats) or None
+            if amax:
+                logging.info(f'>> int8 export: using {len(amax)} '
+                             'QAT-learned conv scales')
         if amax is None:
             amax = quantize.calibrate(
                 module, variables,
                 _calibration_images(
                     experiment, int(opts.get('calibration_batches', 2))))
             logging.info(f'>> int8 export: calibrated {len(amax)} convs')
-        else:
-            logging.info(f'>> int8 export: reusing the experiment\'s '
-                         f'{len(amax)} calibrated conv scales')
         apply_fn = quantize.quantized_apply(
             module, amax, spatial_limit=opts.get('spatial_limit'))
 

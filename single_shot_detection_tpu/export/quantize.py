@@ -196,3 +196,145 @@ def make_quantized_predict_step(module, postprocessor, anchors,
     return make_predict_step(
         module, postprocessor, anchors,
         apply_fn=quantized_apply(module, amax, spatial_limit))
+
+
+# ---------------------------------------------------------------------------
+# Quantization-aware training (beyond parity)
+# ---------------------------------------------------------------------------
+# Standard fake-quantization QAT: the forward pass models int8 rounding/
+# clipping noise (weights per-output-channel, activations per-tensor) while
+# gradients flow through the straight-through estimator, so the trained
+# weights adapt to the quantized serving path.  TPU-first design decisions:
+#
+# - Activation scales are EMA running statistics (`act_amax`) living in the
+#   ``batch_stats`` collection — they ride the train step's existing
+#   mutable/donation/checkpoint/mesh-replication plumbing (exactly like BN
+#   running stats), and updating them never retraces the step.
+# - Compute stays in the run's float dtype (bf16/f32): QAT models the
+#   NOISE of int8, it does not need int8 arithmetic — the MXU keeps its
+#   usual layout and the step compiles once.
+# - Serving hands off directly: ``amax_from_batch_stats`` extracts the
+#   learned scales so ``--int8`` eval/export reuses them instead of
+#   post-hoc calibration.
+
+QAT_DECAY = 0.99
+
+
+def _fake_quant(x, scale):
+    """Quantize-dequantize with a straight-through-estimator gradient."""
+    q = jnp.clip(jnp.round(x / scale), -QMAX, QMAX) * scale
+    return x + jax.lax.stop_gradient(q - x)
+
+
+def _fake_quant_conv(conv: nn.Conv, x, act_amax):
+    """One ``nn.Conv`` application with fake-quantized weights and input.
+
+    Mirrors ``_quantized_conv``'s scale construction exactly (per-channel
+    symmetric weights, per-tensor symmetric activations) so the QAT noise
+    matches the int8 serving path bit-for-bit in scale placement.
+    """
+    params = conv.variables['params']
+    kernel = params['kernel'].astype(jnp.float32)  # HWIO
+
+    w_amax = jnp.max(jnp.abs(kernel), axis=(0, 1, 2))
+    w_scale = jnp.maximum(w_amax, 1e-12) / QMAX
+    k_fq = _fake_quant(kernel, w_scale)
+
+    x_f32 = x.astype(jnp.float32)
+    x_scale = jnp.maximum(act_amax, 1e-12) / QMAX
+    # bypass until the EMA has seen at least one batch (amax == 0)
+    x_fq = jnp.where(act_amax > 0, _fake_quant(x_f32, x_scale), x_f32)
+
+    compute_dtype = conv.dtype if conv.dtype is not None else x.dtype
+    kernel_size = kernel.shape[:2]
+    strides = conv.strides if conv.strides is not None else (1, 1)
+    if isinstance(strides, int):
+        strides = (strides, strides)
+    y = jax.lax.conv_general_dilated(
+        x_fq.astype(compute_dtype), k_fq.astype(compute_dtype),
+        window_strides=tuple(strides),
+        padding=_canonical_padding(conv.padding, kernel_size),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        feature_group_count=1)
+    if conv.use_bias:
+        y = y + params['bias'].astype(y.dtype)
+    return y.astype(compute_dtype)
+
+
+def make_qat_interceptor(decay: float = QAT_DECAY,
+                         spatial_limit: Optional[int] = None) -> Callable:
+    """Trace-time interceptor applying fake-quant to every supported conv.
+
+    Each conv owns an ``act_amax`` scalar in ``batch_stats`` (created at
+    init, EMA-updated whenever the collection is mutable — i.e. inside the
+    train step — and read-only in eval/predict).  ``spatial_limit``
+    matches the serving-side knob: convs kept float at serving time must
+    not see quantization noise in training either.
+    """
+
+    def interceptor(next_fun, args, kwargs, context):
+        conv = context.module
+        if (not isinstance(conv, nn.Conv)
+                or context.method_name != '__call__'
+                or not _supported(conv)):
+            return next_fun(*args, **kwargs)
+        x = args[0]
+        if (spatial_limit is not None and x.ndim == 4
+                and max(x.shape[1], x.shape[2]) > spatial_limit):
+            return next_fun(*args, **kwargs)
+        var = conv.variable('batch_stats', 'act_amax',
+                            lambda: jnp.zeros((), jnp.float32))
+        if conv.is_initializing():
+            return next_fun(*args, **kwargs)
+        if conv.is_mutable_collection('batch_stats'):
+            batch_amax = jnp.max(jnp.abs(x)).astype(jnp.float32)
+            var.value = jnp.where(
+                var.value > 0,
+                decay * var.value + (1.0 - decay) * batch_amax,
+                batch_amax)
+        return _fake_quant_conv(conv, x, var.value)
+
+    return interceptor
+
+
+def qat_apply(module, decay: float = QAT_DECAY,
+              spatial_limit: Optional[int] = None) -> Callable:
+    """``apply``-compatible callable running supported convs fake-quantized.
+
+    Use for BOTH init and apply so the ``act_amax`` variables exist in the
+    state (engine wiring: ``train.qat`` config)."""
+    interceptor = make_qat_interceptor(decay, spatial_limit)
+
+    def apply(variables, *args, **kwargs):
+        with nn.intercept_methods(interceptor):
+            return module.apply(variables, *args, **kwargs)
+
+    return apply
+
+
+def qat_init(module, init_fn, *args, **kwargs):
+    """Run an init callable under the QAT interceptor so every supported
+    conv creates its ``act_amax`` stat."""
+    with nn.intercept_methods(make_qat_interceptor()):
+        return init_fn(*args, **kwargs)
+
+
+def amax_from_batch_stats(batch_stats) -> Dict[str, float]:
+    """Extract QAT-learned activation scales as ``{conv_path: amax}`` —
+    the direct handoff to the int8 serving path (``quantized_apply``),
+    replacing post-hoc calibration."""
+    out: Dict[str, float] = {}
+
+    def walk(node, path):
+        if not isinstance(node, dict):
+            return
+        for k, v in node.items():
+            if k == 'act_amax':
+                val = float(jax.device_get(v))
+                if val > 0:
+                    out['/'.join(path)] = val
+            else:
+                walk(v, path + (str(k),))
+
+    walk(jax.device_get(batch_stats), ())
+    return out

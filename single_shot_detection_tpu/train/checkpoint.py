@@ -133,6 +133,21 @@ def migrate_state_dict(raw: dict, template_dict: dict, rules=None) -> dict:
     return _unflatten(out)
 
 
+def _restore_empty_markers(out: dict, want: dict) -> dict:
+    """``_flatten`` marks empty dicts with a sentinel; dropping a subtree's
+    last leaf must leave the template's empty-dict marker behind, or the
+    whole field vanishes from the state dict (flax then fails with
+    'Missing field').  Conversely, a raw marker that gained children is
+    harmless: markers precede their fills in insertion order, so
+    ``_unflatten`` creates the dict first and the children land inside."""
+    def has_children(d, k):
+        return any(p != k and p[:len(k)] == k for p in d)
+    for k, v in want.items():
+        if v is _EMPTY and k not in out and not has_children(out, k):
+            out[k] = v
+    return out
+
+
 def _reconcile_ema(raw: dict, template_dict: dict) -> dict:
     """EMA shadow params (state.py ``ema_params``) are auxiliary: a
     checkpoint written before EMA existed (or with it disabled) seeds the
@@ -165,7 +180,33 @@ def _reconcile_ema(raw: dict, template_dict: dict) -> dict:
     if filled:
         logging.info(f'>> checkpoint predates EMA: seeded {filled} '
                      'ema_params leaves from its params')
-    return _unflatten(out)
+    return _unflatten(_restore_empty_markers(out, want))
+
+
+def _reconcile_qat(raw: dict, template_dict: dict) -> dict:
+    """QAT activation-scale stats (``act_amax`` leaves in batch_stats,
+    export/quantize.py) are auxiliary: a float checkpoint restored into a
+    QAT run gets the template's zeros (the EMA re-seeds on the first
+    batch); a QAT checkpoint restored into a float run drops them.  Real
+    mismatches outside ``act_amax`` still fail loudly downstream."""
+    flat, want = _flatten(raw), _flatten(template_dict)
+    if flat.keys() == want.keys():
+        return raw
+    out = {k: v for k, v in flat.items()
+           if k[-1] != 'act_amax' or k in want}
+    dropped = len(flat) - len(out)
+    filled = 0
+    for k, v in want.items():
+        if k not in out and k[-1] == 'act_amax':
+            out[k] = v  # template zero: uncalibrated -> bypass until EMA
+            filled += 1
+    if dropped:
+        logging.info(f'>> checkpoint carries QAT act_amax but this run '
+                     f'disables QAT: dropped {dropped} leaves')
+    if filled:
+        logging.info(f'>> checkpoint predates QAT: {filled} act_amax '
+                     'stats start uncalibrated')
+    return _unflatten(_restore_empty_markers(out, want))
 
 
 def restore(path: str, template_state, rules=None) -> Tuple[object, dict]:
@@ -178,6 +219,7 @@ def restore(path: str, template_state, rules=None) -> Tuple[object, dict]:
     if _flatten(raw).keys() != _flatten(template_dict).keys():
         raw = migrate_state_dict(raw, template_dict, rules)
         raw = _reconcile_ema(raw, template_dict)
+        raw = _reconcile_qat(raw, template_dict)
     state = serialization.from_state_dict(template_state, raw)
     meta = {'epoch': 0, 'global_step': int(jax.device_get(state.step))}
     meta_path = path + '.meta.json'

@@ -308,13 +308,35 @@ class Experiment:
             self.ema_decay = float(ema_cfg['decay'])
         else:
             self.ema_decay = float(ema_cfg) if ema_cfg else None
+        # QAT (train.qat, beyond-parity): fake-quant forward with EMA
+        # activation scales as batch_stats entries (export/quantize.py);
+        # accepts True or {'decay': d, 'spatial_limit': S}
+        qat_cfg = train_cfg.get('qat')
+        self.qat_apply = None
+        if qat_cfg:
+            from single_shot_detection_tpu.export import quantize as _quant
+            opts = qat_cfg if isinstance(qat_cfg, dict) else {}
+            self.qat_apply = _quant.qat_apply(
+                self.bundle.module,
+                decay=float(opts.get('decay', _quant.QAT_DECAY)),
+                spatial_limit=opts.get('spatial_limit'))
+
+        def _init_variables():
+            if self.qat_apply is not None:
+                from single_shot_detection_tpu.export import quantize as _q
+                # init under the interceptor so every supported conv owns
+                # its act_amax stat from the start
+                return _q.qat_init(self.bundle.module, self.bundle.init,
+                                   init_rng, batch_size=1)
+            return self.bundle.init(init_rng, batch_size=1)
+
         if cpu_devices and jax.devices()[0].platform != 'cpu':
             with jax.default_device(cpu_devices[0]):
-                variables = self.bundle.init(init_rng, batch_size=1)
+                variables = _init_variables()
             self.state = create_train_state(variables, self.tx,
                                             ema=self.ema_decay is not None)
         else:
-            variables = self.bundle.init(init_rng, batch_size=1)
+            variables = _init_variables()
             self.state = create_train_state(variables, self.tx,
                                             ema=self.ema_decay is not None)
         # replicate across the mesh (the jitted steps then see a consistent
@@ -424,7 +446,8 @@ class Experiment:
             pipeline=self.train_pipeline,
             with_grads=self._needs_taylor,
             frozen_bn=self.frozen_bn,
-            ema=self.ema_decay)
+            ema=self.ema_decay,
+            apply_fn=self.qat_apply, qat=self.qat_apply is not None)
         # k steps per dispatch via lax.scan — amortizes dispatch/readback
         # round trips (dominant on remote-TPU transports; see docs/PERF.md)
         self.fused_steps = int(train_cfg.get('fused_steps', 1))
@@ -439,12 +462,16 @@ class Experiment:
                 self.bundle.module, self.criterion, self.assigner,
                 self.anchors, self.tx, k=self.fused_steps,
                 mixup=train_cfg.get('mixup'), pipeline=self.train_pipeline,
-                frozen_bn=self.frozen_bn, ema=self.ema_decay)
+                frozen_bn=self.frozen_bn, ema=self.ema_decay,
+                apply_fn=self.qat_apply, qat=self.qat_apply is not None)
+        # under QAT, eval/predict run the fake-quant forward too (read-only
+        # scales) so reported mAP reflects the quantized serving behavior
         self.eval_step = make_eval_step(
             self.bundle.module, self.criterion, self.assigner, self.anchors,
-            self.postprocessor)
+            self.postprocessor, apply_fn=self.qat_apply)
         self.predict_step = make_predict_step(
-            self.bundle.module, self.postprocessor, self.anchors)
+            self.bundle.module, self.postprocessor, self.anchors,
+            apply_fn=self.qat_apply)
         # int8 PTQ serving (export/quantize.py, the OpenVINO-deployment
         # analog): calibration is lazy — it needs real eval batches — and
         # swaps eval/predict to the quantized forward on first use
@@ -692,12 +719,21 @@ class Experiment:
         # optional config block: int8 = {'calibration_batches': N,
         # 'spatial_limit': S} (see export/quantize.py on when S matters)
         opts = dict(self.cfg.int8 or {})
-        n_batches = int(opts.get('calibration_batches', 2))
-        variables = {'params': self._eval_params(),
-                     'batch_stats': self.state.batch_stats}
-        images = export_mod._calibration_images(self, n_batches)
-        self._int8_amax = quantize.calibrate(self.bundle.module, variables,
-                                             images)
+        qat_amax = (quantize.amax_from_batch_stats(self.state.batch_stats)
+                    if self.qat_apply is not None else {})
+        if qat_amax:
+            # QAT run: the activation scales were learned during training
+            # (EMA in batch_stats) — no post-hoc calibration needed
+            self._int8_amax = qat_amax
+            how = 'QAT-learned scales for'
+        else:
+            n_batches = int(opts.get('calibration_batches', 2))
+            variables = {'params': self._eval_params(),
+                         'batch_stats': self.state.batch_stats}
+            images = export_mod._calibration_images(self, n_batches)
+            self._int8_amax = quantize.calibrate(
+                self.bundle.module, variables, images)
+            how = f'calibrated ({len(images)} batches)'
         self._int8_calib_step = cur_step
         apply_fn = quantize.quantized_apply(
             self.bundle.module, self._int8_amax,
@@ -708,8 +744,7 @@ class Experiment:
         self.predict_step = make_predict_step(
             self.bundle.module, self.postprocessor, self.anchors,
             apply_fn=apply_fn)
-        logging.info(f'>> int8: calibrated {len(self._int8_amax)} convs '
-                     f'on {len(images)} batches')
+        logging.info(f'>> int8: {how} {len(self._int8_amax)} convs')
 
     def evaluate(self) -> dict:
         from single_shot_detection_tpu import parallel

@@ -62,7 +62,9 @@ def make_train_step(module,
                     donate: bool = True,
                     with_grads: bool = False,
                     frozen_bn: bool = False,
-                    ema: Optional[float] = None) -> Callable:
+                    ema: Optional[float] = None,
+                    apply_fn: Optional[Callable] = None,
+                    qat: bool = False) -> Callable:
     """Build the jitted train step (parity: init.py:101-135 ``step_fn`` +
     callbacks optimizer/loss/mixup).
 
@@ -86,10 +88,14 @@ def make_train_step(module,
     (fused elementwise — negligible on TPU) with the standard warmup ramp
     ``min(ema, (1 + t) / (10 + t))`` so short runs aren't dominated by the
     random init.  Eval/serving read the EMA weights (engine ``train.ema``).
+
+    ``apply_fn`` overrides ``module.apply`` for the forward pass (same
+    signature/mutable contract) — e.g. the QAT fake-quant forward
+    (export/quantize.qat_apply, engine ``train.qat``).
     """
     train_step = _train_step_body(module, criterion, assigner, anchors, tx,
                                   mixup, pipeline, with_grads, frozen_bn,
-                                  ema)
+                                  ema, apply_fn, qat)
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
@@ -99,7 +105,9 @@ def make_fused_train_step(module, criterion, assigner, anchors, tx,
                           pipeline=None,
                           donate: bool = True,
                           frozen_bn: bool = False,
-                          ema: Optional[float] = None) -> Callable:
+                          ema: Optional[float] = None,
+                          apply_fn: Optional[Callable] = None,
+                          qat: bool = False) -> Callable:
     """``k`` train steps per XLA dispatch via ``lax.scan``.
 
     Dispatch/readback round trips dominate small-model steps on remote
@@ -109,7 +117,8 @@ def make_fused_train_step(module, criterion, assigner, anchors, tx,
     """
     body = _train_step_body(module, criterion, assigner, anchors, tx,
                             mixup, pipeline, with_grads=False,
-                            frozen_bn=frozen_bn, ema=ema)
+                            frozen_bn=frozen_bn, ema=ema, apply_fn=apply_fn,
+                            qat=qat)
 
     def fused(state, batches, rng):
         keys = jax.random.split(rng, k)
@@ -127,8 +136,9 @@ def make_fused_train_step(module, criterion, assigner, anchors, tx,
 
 def _train_step_body(module, criterion, assigner, anchors, tx,
                      mixup, pipeline, with_grads, frozen_bn=False,
-                     ema=None):
+                     ema=None, apply_fn=None, qat=False):
     anchors = jnp.asarray(anchors)
+    apply_fn = apply_fn if apply_fn is not None else module.apply
 
     def train_step(state, batch, rng):
         images = batch['image']
@@ -148,15 +158,23 @@ def _train_step_body(module, criterion, assigner, anchors, tx,
         target = assigner(boxes, box_mask, anchors)
 
         def loss_fn(params):
-            if frozen_bn:
+            if frozen_bn and qat:
+                # frozen BN + QAT: BN reads running stats and writes
+                # nothing at train=False even under mutable, while the QAT
+                # act_amax EMA (export/quantize.py) still needs to update
+                (scores, locs), mutated = apply_fn(
+                    {'params': params, 'batch_stats': state.batch_stats},
+                    images, train=False, mutable=['batch_stats'])
+                new_stats = mutated['batch_stats']
+            elif frozen_bn:
                 # running-stat normalization, stats not updated (train=False
                 # only gates BN in every zoo module); params still train
-                scores, locs = module.apply(
+                scores, locs = apply_fn(
                     {'params': params, 'batch_stats': state.batch_stats},
                     images, train=False)
                 new_stats = state.batch_stats
             else:
-                (scores, locs), mutated = module.apply(
+                (scores, locs), mutated = apply_fn(
                     {'params': params, 'batch_stats': state.batch_stats},
                     images, train=True, mutable=['batch_stats'])
                 new_stats = mutated['batch_stats']
