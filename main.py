@@ -151,7 +151,16 @@ def main(args):
 
     if 'export' in args.phases:
         from single_shot_detection_tpu.export import export_model
-        export_model(experiment, 'exported/model', int8=args.int8)
+        # optional config block: export = {'standalone': True, 'path': P,
+        # 'batch_size': N, 'with_postprocess': ..., ...}; 'standalone'
+        # bakes preprocessing + NMS + weights into one artifact
+        opts = dict(experiment.cfg.export or {})
+        if opts.pop('standalone', False):
+            opts.setdefault('with_postprocess', True)
+            opts.setdefault('with_preprocess', True)
+            opts.setdefault('bake_variables', True)
+        export_model(experiment, opts.pop('path', 'exported/model'),
+                     int8=args.int8, **opts)
 
 
 if __name__ == '__main__':

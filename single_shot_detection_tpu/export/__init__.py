@@ -60,7 +60,7 @@ def _calibration_images(experiment, n_batches: int = 2):
 
 
 def make_inference_fn(experiment, with_postprocess: bool = False,
-                      int8: bool = False):
+                      int8: bool = False, with_preprocess: bool = False):
     """Build the standalone inference function.
 
     Default (parity with onnx export, detector.py:68-72): returns softmaxed
@@ -68,14 +68,19 @@ def make_inference_fn(experiment, with_postprocess: bool = False,
     bakes NMS in (engine-side NMS, the mo_add_output analog).  ``int8``
     calibrates on eval batches and bakes the quantized convs + scales into
     the artifact (the OpenVINO int8-deployment analog).
+    ``with_preprocess=True`` bakes the config's normalization
+    (divisor/mean/std — the OpenVINO ``mean_values`` analog,
+    mo_exporter.py:32) so the artifact accepts raw resized RGB images.
     """
     module, variables = _deploy_model(experiment)
     return _make_inference_fn_for(experiment, module, with_postprocess,
-                                  variables=variables, int8=int8)
+                                  variables=variables, int8=int8,
+                                  with_preprocess=with_preprocess)
 
 
 def _make_inference_fn_for(experiment, module, with_postprocess,
-                           variables=None, int8=False):
+                           variables=None, int8=False,
+                           with_preprocess=False):
     anchors = jnp.asarray(experiment.anchors)
     coder = experiment.box_coder
     postprocessor = experiment.postprocessor
@@ -113,7 +118,20 @@ def _make_inference_fn_for(experiment, module, with_postprocess,
         apply_fn = quantize.quantized_apply(
             module, amax, spatial_limit=opts.get('spatial_limit'))
 
+    pipe = experiment.eval_pipeline
+    divisor = float(getattr(pipe, 'divisor', 1.0))
+    norm_mean = getattr(pipe, 'mean', None)
+    norm_std = getattr(pipe, 'std', None)
+
     def infer(variables, images):
+        if with_preprocess:
+            # config normalization baked in: the artifact accepts raw
+            # resized RGB (0-255 floats), like an OpenVINO IR exported
+            # with mean_values/scale
+            images = images.astype(jnp.float32) / divisor
+            if norm_mean is not None:
+                images = ((images - jnp.asarray(norm_mean))
+                          / jnp.asarray(norm_std))
         scores, locs = apply_fn(variables, images, train=False)
         scores = scores.astype(jnp.float32)
         locs = locs.astype(jnp.float32)
@@ -128,22 +146,38 @@ def _make_inference_fn_for(experiment, module, with_postprocess,
 
 
 def export_model(experiment, path: str, with_postprocess: bool = False,
-                 batch_size: int = 1, int8: bool = False):
+                 batch_size: int = 1, int8: bool = False,
+                 with_preprocess: bool = False,
+                 bake_variables: bool = False):
     """Serialize the inference function to StableHLO bytes at ``path``.
 
     Parity: main.py:128 export phase -> exported/model.onnx; here the
     artifact is ``<path>.stablehlo`` loadable via ``jax.export.deserialize``.
     ``int8`` bakes calibrated int8 convs into the artifact.
+
+    ``bake_variables=True`` closes over the weights (the ONNX-artifact
+    model: one self-contained file, call signature ``images ->
+    detections``); default keeps ``(variables, images)`` so one artifact
+    serves many checkpoints.  ``with_preprocess`` bakes normalization.
+    A fully standalone artifact (raw resized images in, final boxes out):
+    ``with_postprocess=True, with_preprocess=True, bake_variables=True``
+    — the ``export = {'standalone': True}`` config shorthand
+    (tools/infer_exported.py consumes these).
     """
     os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
     module, variables = _deploy_model(experiment)
     infer = _make_inference_fn_for(experiment, module, with_postprocess,
-                                   variables=variables, int8=int8)
+                                   variables=variables, int8=int8,
+                                   with_preprocess=with_preprocess)
     w, h = experiment.input_size
     images = jnp.zeros((batch_size, h, w, 3), jnp.float32)
 
     from jax import export as jax_export
-    exported = jax_export.export(jax.jit(infer))(variables, images)
+    if bake_variables:
+        exported = jax_export.export(
+            jax.jit(lambda imgs: infer(variables, imgs)))(images)
+    else:
+        exported = jax_export.export(jax.jit(infer))(variables, images)
     blob = exported.serialize()
     out_path = path + '.stablehlo'
     with open(out_path, 'wb') as f:
@@ -159,3 +193,13 @@ def load_exported(path: str):
     with open(path, 'rb') as f:
         exported = jax_export.deserialize(bytearray(f.read()))
     return exported.call
+
+
+def load_exported_with_spec(path: str):
+    """Deserialize an exported model; returns ``(callable, in_avals)`` so a
+    standalone consumer (tools/infer_exported.py) can discover the
+    expected input shape from the artifact itself."""
+    from jax import export as jax_export
+    with open(path, 'rb') as f:
+        exported = jax_export.deserialize(bytearray(f.read()))
+    return exported.call, exported.in_avals

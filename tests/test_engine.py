@@ -169,6 +169,62 @@ def test_export_with_postprocess(tmp_path):
     assert dets.shape[-1] == 6 and valid.dtype == np.bool_ or valid.dtype == bool
 
 
+def test_export_standalone_artifact(tmp_path):
+    """``standalone`` export: weights + normalization + NMS baked into one
+    artifact whose signature is raw-RGB images -> final detections; must
+    agree with the framework path (normalize then non-baked artifact)."""
+    from single_shot_detection_tpu.export import (
+        export_model, load_exported, load_exported_with_spec)
+    cfg = load_config(SMOKE)
+    cfg.config.train['epochs'] = 0
+    exp = Experiment(cfg, phases=['train'], debug=True)
+    path = export_model(exp, str(tmp_path / 'standalone'),
+                        with_postprocess=True, with_preprocess=True,
+                        bake_variables=True)
+    call, in_avals = load_exported_with_spec(path)
+    assert len(in_avals) == 1, 'weights must be baked in'
+    assert tuple(in_avals[0].shape) == (1, 128, 128, 3)
+
+    raw = (np.random.RandomState(3).rand(1, 128, 128, 3) * 255
+           ).astype(np.float32)
+    dets_a, valid_a = call(raw)
+
+    # framework path: normalize by hand, run the plain artifact
+    ref_path = export_model(exp, str(tmp_path / 'plain'),
+                            with_postprocess=True)
+    pipe = exp.eval_pipeline
+    normed = (raw / pipe.divisor - np.asarray(pipe.mean)) / np.asarray(pipe.std)
+    variables = {'params': exp.state.params,
+                 'batch_stats': exp.state.batch_stats}
+    dets_b, valid_b = load_exported(ref_path)(variables,
+                                              normed.astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(valid_a), np.asarray(valid_b))
+    np.testing.assert_allclose(np.asarray(dets_a), np.asarray(dets_b),
+                               atol=1e-5)
+
+
+def test_infer_exported_cli(tmp_path, capsys):
+    """tools/infer_exported.py consumes a standalone artifact with no
+    config/checkpoint — the deployment-side demo.py analog."""
+    import importlib.util
+    from single_shot_detection_tpu.export import export_model
+    cfg = load_config(SMOKE)
+    cfg.config.train['epochs'] = 0
+    exp = Experiment(cfg, phases=['train'], debug=True)
+    path = export_model(exp, str(tmp_path / 'standalone'),
+                        with_postprocess=True, with_preprocess=True,
+                        bake_variables=True)
+    tool = os.path.join(os.path.dirname(__file__), '..', 'tools',
+                        'infer_exported.py')
+    spec = importlib.util.spec_from_file_location('infer_exported', tool)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.main([path, '--synthetic', '--min-score', '0.0']) == 0
+    out = capsys.readouterr().out
+    assert 'artifact expects [1, 128, 128, 3]' in out
+    assert 'synthetic[0]:' in out
+
+
 def test_video_viewer_headless(tmp_path):
     from PIL import Image
     from single_shot_detection_tpu.utils.video_viewer import VideoViewer
