@@ -159,8 +159,16 @@ def main(args):
             opts.setdefault('with_postprocess', True)
             opts.setdefault('with_preprocess', True)
             opts.setdefault('bake_variables', True)
-        export_model(experiment, opts.pop('path', 'exported/model'),
-                     int8=args.int8, **opts)
+        path = opts.pop('path', 'exported/model')
+        int8 = bool(opts.pop('int8', False)) or args.int8
+        allowed = {'with_postprocess', 'batch_size', 'with_preprocess',
+                   'bake_variables'}
+        unknown = sorted(set(opts) - allowed)
+        if unknown:
+            raise SystemExit(
+                f"config export block has unknown key(s) {unknown}; "
+                f"supported: {sorted(allowed | {'standalone', 'path', 'int8'})}")
+        export_model(experiment, path, int8=int8, **opts)
 
 
 if __name__ == '__main__':

@@ -189,10 +189,7 @@ def export_model(experiment, path: str, with_postprocess: bool = False,
 
 def load_exported(path: str):
     """Deserialize an exported model; returns a callable."""
-    from jax import export as jax_export
-    with open(path, 'rb') as f:
-        exported = jax_export.deserialize(bytearray(f.read()))
-    return exported.call
+    return load_exported_with_spec(path)[0]
 
 
 def load_exported_with_spec(path: str):

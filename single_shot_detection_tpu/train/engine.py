@@ -315,7 +315,13 @@ class Experiment:
         self.qat_apply = None
         if qat_cfg:
             from single_shot_detection_tpu.export import quantize as _quant
-            opts = qat_cfg if isinstance(qat_cfg, dict) else {}
+            if isinstance(qat_cfg, dict):
+                opts = qat_cfg
+            elif isinstance(qat_cfg, bool):
+                opts = {}
+            else:
+                # mirror train.ema's bare-float shorthand: qat: 0.95 == decay
+                opts = {'decay': float(qat_cfg)}
             self.qat_apply = _quant.qat_apply(
                 self.bundle.module,
                 decay=float(opts.get('decay', _quant.QAT_DECAY)),

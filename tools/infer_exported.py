@@ -41,6 +41,7 @@ def load_artifact(path: str):
 
 
 def _load_images(paths, size_hw, batch):
+    """Loads up to ``batch`` images into a zero-padded [batch,h,w,3] array."""
     from PIL import Image
     h, w = size_hw
     imgs = np.zeros((batch, h, w, 3), np.float32)
@@ -65,29 +66,41 @@ def main(argv=None):
     print(f'>> artifact expects [{batch}, {h}, {w}, 3] raw RGB', flush=True)
 
     if args.synthetic:
-        imgs = (np.random.RandomState(0).rand(batch, h, w, 3) * 255
-                ).astype(np.float32)
-        names = [f'synthetic[{i}]' for i in range(batch)]
+        chunks = [[f'synthetic[{i}]' for i in range(batch)]]
+        synth = (np.random.RandomState(0).rand(batch, h, w, 3) * 255
+                 ).astype(np.float32)
     elif args.images:
-        imgs = _load_images(args.images, (h, w), batch)
-        names = list(args.images[:batch]) + [
-            '(padding)'] * max(0, batch - len(args.images))
+        # the artifact's batch size is baked in: run ceil(N/batch) calls so
+        # every image is processed (padding slots are zero-filled and their
+        # outputs discarded, never printed)
+        chunks = [args.images[i:i + batch]
+                  for i in range(0, len(args.images), batch)]
+        synth = None
     else:
         ap.error('give image files or --synthetic')
 
-    out = call(imgs)
-    t0 = time.perf_counter()
-    out = call(imgs)  # timed second call (first includes compile/load)
-    dets, valid = (np.asarray(out[0]), np.asarray(out[1]))
-    dt = time.perf_counter() - t0
+    total_ms = 0.0
+    warm = False
+    for names in chunks:
+        imgs = synth if synth is not None else _load_images(
+            names, (h, w), batch)
+        if not warm:
+            call(imgs)  # first call includes compile/load — not timed
+            warm = True
+        t0 = time.perf_counter()
+        out = call(imgs)
+        dets, valid = (np.asarray(out[0]), np.asarray(out[1]))
+        total_ms += (time.perf_counter() - t0) * 1e3
 
-    for i, name in enumerate(names):
-        rows = dets[i][valid[i] & (dets[i][:, 5] >= args.min_score)]
-        print(f'{name}: {len(rows)} detections')
-        for x1, y1, x2, y2, cls, score in rows:
-            print(f'  [{x1:8.2f} {y1:8.2f} {x2:8.2f} {y2:8.2f}] '
-                  f'score={score:.3f} class={int(cls)}')
-    print(f'>> inference: {dt * 1e3:.2f} ms for batch {batch}')
+        for i, name in enumerate(names):
+            rows = dets[i][valid[i] & (dets[i][:, 5] >= args.min_score)]
+            print(f'{name}: {len(rows)} detections')
+            for x1, y1, x2, y2, cls, score in rows:
+                print(f'  [{x1:8.2f} {y1:8.2f} {x2:8.2f} {y2:8.2f}] '
+                      f'score={score:.3f} class={int(cls)}')
+    n_calls = len(chunks)
+    print(f'>> inference: {total_ms:.2f} ms for {n_calls} '
+          f'call{"s" if n_calls != 1 else ""} of batch {batch}')
     return 0
 
 
