@@ -9,6 +9,8 @@ SURVEY.md §5).
 Usage:
   python benchmarks/profile_step.py --config ssd_300_vgg16_voc --batch 16
   python benchmarks/profile_step.py --config ssd_mb2_voc --batch 32 --top 25
+  python benchmarks/profile_step.py --config retina_rn50_500_coco --batch 16 \
+      --predict --pre-nms-top-k 1000      # fused inference step instead
 """
 
 import argparse
@@ -30,20 +32,41 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 
-def capture(config, batch, dtype, steps, profile_dir):
+def capture(config, batch, dtype, steps, profile_dir, predict=False,
+            pre_nms_top_k=None):
     from benchmarks.parity_bench import build_from_config
     from benchmarks._util import synth_batch
     from single_shot_detection_tpu.train import (create_train_state,
                                                  make_train_step)
 
     path = os.path.join(ROOT, 'samples', config + '.py')
-    cfg, bundle, criterion, assigner, _, tx = build_from_config(path, dtype)
+    cfg, bundle, criterion, assigner, postprocessor, tx = build_from_config(
+        path, dtype)
     anchors = bundle.anchors()
     state = create_train_state(bundle.init(jax.random.PRNGKey(0)), tx)
-    step = make_train_step(bundle.module, criterion, assigner, anchors, tx,
-                           donate=True)
     b = synth_batch(batch, tuple(cfg.input_size), bundle.num_classes)
     key = jax.random.PRNGKey(1)
+
+    if predict:
+        from single_shot_detection_tpu.train.step import make_predict_step
+        if pre_nms_top_k is not None:
+            postprocessor.pre_nms_top_k = int(pre_nms_top_k)
+        variables = {'params': state.params,
+                     'batch_stats': state.batch_stats}
+        step_fn = make_predict_step(bundle.module, postprocessor, anchors)
+        out = step_fn(variables, b['image'])
+        jax.block_until_ready(out)
+        for _ in range(3):  # post-compile warmup (relay slow path)
+            out = step_fn(variables, b['image'])
+        jax.block_until_ready(out)
+        with jax.profiler.trace(profile_dir):
+            for _ in range(steps):
+                out = step_fn(variables, b['image'])
+            jax.block_until_ready(out)
+        return
+
+    step = make_train_step(bundle.module, criterion, assigner, anchors, tx,
+                           donate=True)
 
     state, m = step(state, b, key)
     jax.block_until_ready(m['loss'])
@@ -143,12 +166,18 @@ def main():
     ap.add_argument('--top', type=int, default=15)
     ap.add_argument('--keep', action='store_true',
                     help='keep the profile dir and print its path')
+    ap.add_argument('--predict', action='store_true',
+                    help='profile the fused inference step (forward + '
+                         'decode + NMS) instead of the train step')
+    ap.add_argument('--pre-nms-top-k', type=int, default=None,
+                    help='postprocess.pre_nms_top_k override (predict mode)')
     args = ap.parse_args()
     dtype = jnp.bfloat16 if args.dtype == 'bf16' else jnp.float32
 
     ctx = tempfile.mkdtemp(prefix='profile_step_')
     try:
-        capture(args.config, args.batch, dtype, args.steps, ctx)
+        capture(args.config, args.batch, dtype, args.steps, ctx,
+                predict=args.predict, pre_nms_top_k=args.pre_nms_top_k)
         time.sleep(1)
         aggregate(ctx, args.steps, args.top)
     finally:
