@@ -83,6 +83,7 @@ def capture(config, batch, dtype, steps, profile_dir, predict=False,
 FAMILY_RULES = [
     ('convolution', 'convolution (MXU)'),
     ('convert_reduce', 'convert+reduce (BN/grad reductions)'),
+    ('all-reduce', 'collective'),  # must precede the 'reduce' substring
     ('reduce', 'reduce'),
     ('multiply_add', 'multiply_add fusion (VPU)'),
     ('copy', 'copy / layout'),
@@ -92,7 +93,6 @@ FAMILY_RULES = [
     ('gather', 'gather'),
     ('dynamic', 'dynamic slice/update'),
     ('dot', 'dot (MXU)'),
-    ('all-reduce', 'collective'),
 ]
 
 
@@ -128,6 +128,11 @@ def aggregate(profile_dir, steps, top):
                    if re.search(r'TPU|/device:|XLA Ops', n, re.I)}
     op_lanes = {key for key, n in tid_names.items()
                 if key[0] in device_pids and re.search(r'XLA Ops', n, re.I)}
+    if not op_lanes:
+        raise SystemExit(
+            'trace parsed but no device "XLA Ops" lane matched — profiler '
+            'lane naming may have changed; refusing to report a 0-ms step. '
+            f'process names seen: {sorted(set(pid_names.values()))[:10]}')
 
     by_op = collections.Counter()
     by_fam = collections.Counter()

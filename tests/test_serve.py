@@ -123,3 +123,38 @@ def test_unknown_path_is_404(server):
     addr, _ = server
     status, _ = _request(addr, 'GET', '/nope')
     assert status == 404
+
+
+def test_bad_min_score_is_400(server):
+    addr, _ = server
+    status, payload = _request(addr, 'POST', '/detect?min_score=abc',
+                               _png_bytes(32, 32, 0))
+    assert status == 400
+    assert 'min_score' in payload['error']
+
+
+def test_failing_device_call_does_not_kill_the_batcher():
+    """A transient device error must fail its group (RuntimeError to the
+    submitters) and leave the consumer thread alive for later requests."""
+    serve = _load_tool()
+    calls = {'n': 0}
+
+    def flaky_call(imgs):
+        calls['n'] += 1
+        if calls['n'] == 1:
+            raise ValueError('transient relay error')
+        b = imgs.shape[0]
+        return (np.zeros((b, 3, 6), np.float32),
+                np.zeros((b, 3), bool))
+
+    batcher = serve.DynamicBatcher(flaky_call, batch=2, in_hw=(8, 8),
+                                   max_delay_ms=1.0)
+    try:
+        img = np.zeros((8, 8, 3), np.float32)
+        with pytest.raises(RuntimeError, match='transient relay error'):
+            batcher.submit(img)
+        # consumer survived: the next request is served normally
+        dets, valid = batcher.submit(img)
+        assert dets.shape == (3, 6) and valid.shape == (3,)
+    finally:
+        batcher.stop()

@@ -78,23 +78,32 @@ def main():
     for seed in args.seeds:
         for arm in ('base', 'qat'):
             key = f'{arm}_{seed}'
-            if key in results:
+            if 'int8_mAP' in results.get(key, {}):
                 continue
             arm_dir = os.path.join(args.workdir, key)
             os.makedirs(arm_dir, exist_ok=True)
-            cfgs = parity_run.write_configs(arm_dir, csvs, args.epochs,
-                                            seed, args.milestones)
-            cfg_path = cfgs['ours']
-            if arm == 'qat':
-                with open(cfg_path, 'a') as f:
-                    f.write("\ntrain['qat'] = True\n")
-            print(f'== {key}: training...', flush=True)
-            t0 = time.time()
-            out = parity_run.run_ours(arm_dir, cfg_path, cpu=args.cpu)
+            cfg_path = os.path.join(arm_dir, 'config_ours.py')
+            # Train unless this arm already has a trained result (a crash
+            # during the cheap int8 eval must not discard the ~15-min
+            # training run on resume — results.json is written after each
+            # stage, not only at arm completion).
+            if key not in results:
+                cfgs = parity_run.write_configs(arm_dir, csvs, args.epochs,
+                                                seed, args.milestones)
+                cfg_path = cfgs['ours']
+                if arm == 'qat':
+                    with open(cfg_path, 'a') as f:
+                        f.write("\ntrain['qat'] = True\n")
+                print(f'== {key}: training...', flush=True)
+                t0 = time.time()
+                out = parity_run.run_ours(arm_dir, cfg_path, cpu=args.cpu)
+                results[key] = {'mAP': out['mAP'],
+                                'minutes': round((time.time() - t0) / 60.0,
+                                                 1)}
+                json.dump(results, open(state_path, 'w'), indent=2)
             print(f'== {key}: int8 eval...', flush=True)
-            int8_map = run_int8_eval(arm_dir, cfg_path, cpu=args.cpu)
-            results[key] = {'mAP': out['mAP'], 'int8_mAP': int8_map,
-                            'minutes': round((time.time() - t0) / 60.0, 1)}
+            results[key]['int8_mAP'] = run_int8_eval(arm_dir, cfg_path,
+                                                     cpu=args.cpu)
             json.dump(results, open(state_path, 'w'), indent=2)
             print(json.dumps({key: results[key]}), flush=True)
 
@@ -102,7 +111,7 @@ def main():
     for seed in args.seeds:
         b = results.get(f'base_{seed}')
         q = results.get(f'qat_{seed}')
-        if not b or not q:
+        if not b or not q or 'int8_mAP' not in b or 'int8_mAP' not in q:
             continue
         deltas.append(q['int8_mAP'] - b['int8_mAP'])
         rows.append(f"| {seed} | {b['mAP']:.3f} | {b['int8_mAP']:.3f} "

@@ -47,13 +47,14 @@ _SENTINEL = object()
 
 
 class _Request:
-    __slots__ = ('img', 'event', 'dets', 'valid')
+    __slots__ = ('img', 'event', 'dets', 'valid', 'error')
 
     def __init__(self, img):
         self.img = img
         self.event = threading.Event()
         self.dets = None
         self.valid = None
+        self.error = None
 
 
 class DynamicBatcher:
@@ -86,10 +87,13 @@ class DynamicBatcher:
     def submit(self, img: np.ndarray):
         """img: float32 [H, W, 3] raw 0-255 RGB at the artifact's size.
         Blocks until the batch containing it has run; returns
-        (dets [N, 6], valid [N]) numpy rows for this image."""
+        (dets [N, 6], valid [N]) numpy rows for this image.  Raises
+        RuntimeError if the device call for its batch failed."""
         req = _Request(img)
         self._q.put(req)
         req.event.wait()
+        if req.error is not None:
+            raise RuntimeError(f'device call failed: {req.error}')
         return req.dets, req.valid
 
     def _loop(self):
@@ -114,12 +118,22 @@ class DynamicBatcher:
                     self._stop = True
                     break
                 group.append(nxt)
-            h, w = self.in_hw
-            imgs = np.zeros((self.batch, h, w, 3), np.float32)
-            for i, req in enumerate(group):
-                imgs[i] = req.img
-            out = self._call(imgs)
-            dets, valid = np.asarray(out[0]), np.asarray(out[1])
+            # Any failure (a transient relay/device error, a malformed
+            # image shape) must fail THIS group's requests, not kill the
+            # consumer thread — a dead consumer would hang every future
+            # request forever while /healthz still answered.
+            try:
+                h, w = self.in_hw
+                imgs = np.zeros((self.batch, h, w, 3), np.float32)
+                for i, req in enumerate(group):
+                    imgs[i] = req.img
+                out = self._call(imgs)
+                dets, valid = np.asarray(out[0]), np.asarray(out[1])
+            except Exception as e:
+                for req in group:
+                    req.error = e
+                    req.event.set()
+                continue
             with self._lock:
                 self.requests += len(group)
                 self.batches += 1
@@ -172,6 +186,10 @@ def _make_handler(batcher: DynamicBatcher):
             try:
                 min_score = float(
                     parse_qs(url.query).get('min_score', ['0.3'])[0])
+            except ValueError as e:
+                self._json(400, {'error': f'bad min_score: {e}'})
+                return
+            try:
                 length = int(self.headers.get('Content-Length', 0))
                 raw = self.rfile.read(length)
                 with Image.open(io.BytesIO(raw)) as im:
@@ -183,7 +201,11 @@ def _make_handler(batcher: DynamicBatcher):
             except Exception as e:  # malformed upload
                 self._json(400, {'error': f'bad image: {e}'})
                 return
-            dets, valid = batcher.submit(img)
+            try:
+                dets, valid = batcher.submit(img)
+            except RuntimeError as e:
+                self._json(503, {'error': str(e)})
+                return
             keep = valid & (dets[:, 5] >= min_score)
             rows = dets[keep].astype(np.float64)
             # rescale from artifact input pixels to source pixels
