@@ -134,31 +134,90 @@ def _match(predictions, gts) -> dict:
 
     is_difficult = (padded_difficult[gidx_safe, best] & has_gt
                     if num_groups else np.zeros(n, bool))
+
+    # extras for the COCO extended protocol (area ranges, max-dets caps)
+    pred_area = (np.clip(predictions[:, 3] - predictions[:, 1], 0, None)
+                 * np.clip(predictions[:, 4] - predictions[:, 2], 0, None))
+    matched_gt_area = (gt_area[gidx_safe, best] if num_groups
+                       else np.zeros(n))
+    # per-image rank of each prediction in global score order (prediction i
+    # is the rank-th best-scored detection of its image) — drives max_dets
+    pred_img = predictions[:, 0].astype(np.int64)
+    rank = np.zeros(n, np.int64)
+    if n:
+        o = np.argsort(pred_img, kind='stable')  # stable keeps score order
+        starts = np.unique(pred_img[o], return_index=True)[1]
+        grp = np.zeros(n, np.int64)
+        grp[starts] = 1
+        grp = np.cumsum(grp) - 1
+        rank[o] = np.arange(n) - starts[grp]
+
     return {'pred_cls': pred_cls, 'has_gt': has_gt, 'best': best,
             'best_iou': best_iou, 'is_difficult': is_difficult,
             'gidx_safe': gidx_safe, 'K': K,
-            'total_positive': dict(total_positive)}
+            'total_positive': dict(total_positive),
+            'pred_area': pred_area, 'matched_gt_area': matched_gt_area,
+            'pred_rank': rank,
+            'gt_cls_all': gt_cls, 'gt_difficult_all': gt_difficult,
+            'gt_area_all': (np.clip(gt_rows[:, 2] - gt_rows[:, 0], 0, None)
+                            * np.clip(gt_rows[:, 3] - gt_rows[:, 1], 0, None)
+                            if n_gt else np.zeros(0))}
 
 
-def _aps_at(match: dict, iou_threshold: float, voc: bool) -> dict:
-    """Per-class AP at one IoU threshold from a ``_match`` result."""
+def _eval_at(match: dict, iou_threshold: float, voc: bool,
+             area_range=None, max_dets=None) -> tuple:
+    """Per-class (AP, final recall) at one IoU threshold from ``_match``.
+
+    ``area_range=(lo, hi)`` restricts the evaluation to GT whose box area is
+    in [lo, hi] (out-of-range GT is *ignored* like VOC ``difficult``, and
+    unmatched predictions whose own area is out of range are ignored rather
+    than counted FP — the pycocotools convention mapped onto the reference's
+    greedy matcher).  ``max_dets`` keeps only each image's top-k scored
+    predictions.  Classes with zero in-range positives are dropped from the
+    filtered means (pycocotools: precision/recall -1, excluded)."""
     n = len(match['pred_cls'])
     above = match['has_gt'] & (match['best_iou'] > iou_threshold)
-    is_difficult = match['is_difficult']
+    # matched GT ignored when difficult OR (filtered) out of the area range
+    gt_ignored = match['is_difficult']
+    if area_range is not None:
+        lo, hi = area_range
+        gt_ignored = gt_ignored | (match['has_gt']
+                                   & ((match['matched_gt_area'] < lo)
+                                      | (match['matched_gt_area'] > hi)))
+        gt_all_in = ((match['gt_area_all'] >= lo)
+                     & (match['gt_area_all'] <= hi))
+        total_positive = {}
+        sel_gt = ~match['gt_difficult_all'] & gt_all_in
+        for c, cnt in zip(*np.unique(match['gt_cls_all'][sel_gt],
+                                     return_counts=True)):
+            total_positive[int(c)] = int(cnt)
+    else:
+        total_positive = match['total_positive']
 
-    # first eligible prediction (global score order) per (group, GT) wins:
-    # np.unique's return_index picks exactly the first occurrence
-    elig = np.nonzero(above & ~is_difficult)[0]
+    keep = (match['pred_rank'] < max_dets if max_dets is not None
+            else np.ones(n, bool))
+
+    # first kept eligible prediction (global score order) per (group, GT)
+    # wins: np.unique's return_index picks exactly the first occurrence
+    elig = np.nonzero(keep & above & ~gt_ignored)[0]
     _, first = np.unique(match['gidx_safe'][elig] * match['K']
                          + match['best'][elig], return_index=True)
     tp_flag = np.zeros(n, bool)
     tp_flag[elig[first]] = True
-    # matched-to-difficult predictions are ignored entirely
-    fp_flag = ~tp_flag & ~(above & is_difficult)
+    # ignored predictions: matched an ignored GT, or (filtered) unmatched
+    # with own area out of range
+    ignored = above & gt_ignored
+    if area_range is not None:
+        lo, hi = area_range
+        ignored = ignored | (~tp_flag & ~above
+                             & ((match['pred_area'] < lo)
+                                | (match['pred_area'] > hi)))
+    fp_flag = keep & ~tp_flag & ~ignored
+    tp_flag &= keep
 
-    total_positive = match['total_positive']
     pred_cls = match['pred_cls']
     average_precision = {c: 0.0 for c in total_positive}
+    final_recall = {c: 0.0 for c in total_positive if total_positive[c] > 0}
 
     for class_index in sorted(total_positive.keys()):
         sel = pred_cls == class_index
@@ -179,6 +238,8 @@ def _aps_at(match: dict, iou_threshold: float, voc: bool) -> dict:
         precision = np.concatenate([precision, [0.0]])
         precision = np.maximum.accumulate(precision[::-1])[::-1]
         recall = tp / total_positive[class_index]
+        if class_index in final_recall:
+            final_recall[class_index] = float(recall[-1])
 
         if voc:
             recall = np.concatenate([recall, [1.0]])
@@ -190,7 +251,12 @@ def _aps_at(match: dict, iou_threshold: float, voc: bool) -> dict:
             average_precision[class_index] = float(
                 np.dot(recall[1:] - recall[:-1], precision))
 
-    return average_precision
+    return average_precision, final_recall
+
+
+def _aps_at(match: dict, iou_threshold: float, voc: bool) -> dict:
+    """Per-class AP at one IoU threshold (unfiltered protocol)."""
+    return _eval_at(match, iou_threshold, voc)[0]
 
 
 def mean_average_precision(predictions,
@@ -226,10 +292,17 @@ def mean_average_precision(predictions,
 COCO_THRESHOLDS = tuple(np.round(np.arange(0.50, 0.96, 0.05), 2))
 
 
+# COCO area ranges in (input-space) pixels², pycocotools boundaries
+COCO_AREA_RANGES = {'small': (0.0, 32.0 ** 2),
+                    'medium': (32.0 ** 2, 96.0 ** 2),
+                    'large': (96.0 ** 2, float('inf'))}
+
+
 def coco_mean_average_precision(predictions,
                                 gts,
                                 class_labels=None,
                                 thresholds=COCO_THRESHOLDS,
+                                extended: bool = False,
                                 verbose: bool = True) -> dict:
     """COCO-protocol headline numbers: mAP averaged over IoU .50:.05:.95,
     plus the mAP@.50 and mAP@.75 cut points (beyond reference parity — the
@@ -240,17 +313,46 @@ def coco_mean_average_precision(predictions,
     at each threshold; continuous AP integration.  One matching pass
     serves the whole sweep.  Returns ``{'mAP@[.5:.95]', 'mAP@.50',
     'mAP@.75'}``.
+
+    ``extended=True`` adds the rest of the COCO scoreboard — area-based AP
+    (``mAP-small/medium/large``; box areas in input-pipeline pixels²) and
+    average recall (``AR@1/10/100`` and ``AR-small/medium/large`` at 100
+    detections), each averaged over the IoU sweep.  Classes without GT in
+    an area band are excluded from that band's mean (pycocotools rule).
     """
     match = _match(predictions, gts)
     per_thr = {}
+    ars = {k: [] for k in ('AR@1', 'AR@10', 'AR@100')}
+    area_aps = {k: [] for k in COCO_AREA_RANGES}
+    area_ars = {k: [] for k in COCO_AREA_RANGES}
     for thr in thresholds:
         aps = _aps_at(match, float(thr), voc=False)
         per_thr[float(thr)] = (sum(aps.values()) / len(aps)) if aps else 0.0
+        if not extended:
+            continue
+        for k, md in (('AR@1', 1), ('AR@10', 10), ('AR@100', 100)):
+            _, rec = _eval_at(match, float(thr), voc=False, max_dets=md)
+            ars[k].append(sum(rec.values()) / len(rec) if rec else 0.0)
+        for name, rng in COCO_AREA_RANGES.items():
+            a, rec = _eval_at(match, float(thr), voc=False,
+                              area_range=rng, max_dets=100)
+            area_aps[name].append(sum(a.values()) / len(a) if a else 0.0)
+            area_ars[name].append(sum(rec.values()) / len(rec)
+                                  if rec else 0.0)
     avg = sum(per_thr.values()) / max(len(per_thr), 1)
     out = {'mAP@[.5:.95]': avg}
     for cut, key in ((0.5, 'mAP@.50'), (0.75, 'mAP@.75')):
         if any(abs(t - cut) < 1e-9 for t in per_thr):
             out[key] = per_thr[min(per_thr, key=lambda t: abs(t - cut))]
+    if extended:
+        for name in COCO_AREA_RANGES:
+            out[f'mAP-{name}'] = (sum(area_aps[name]) / len(area_aps[name])
+                                  if area_aps[name] else 0.0)
+        for k in ars:
+            out[k] = sum(ars[k]) / len(ars[k]) if ars[k] else 0.0
+        for name in COCO_AREA_RANGES:
+            out[f'AR-{name}'] = (sum(area_ars[name]) / len(area_ars[name])
+                                 if area_ars[name] else 0.0)
     if verbose:
         logging.info('COCO-protocol mAP: ' +
                      ' '.join(f'{k}={v:6f}' for k, v in out.items()))

@@ -817,9 +817,14 @@ class Experiment:
             # ``coco_metrics = True`` (or off with ``False``)
             coco_flag = self.cfg.coco_metrics
             if coco_flag or (coco_flag == {} and not is_voc):
+                # dict form forwards protocol kwargs, e.g.
+                # ``coco_metrics = {'extended': True}`` adds area-based AP
+                # (small/medium/large) and AR@1/10/100 to the result
+                coco_kwargs = dict(coco_flag) if isinstance(coco_flag, dict) \
+                    else {}
                 result.update(metrics_ops.coco_mean_average_precision(
                     preds_arr, all_gts,
-                    verbose=self.process_index == 0))
+                    verbose=self.process_index == 0, **coco_kwargs))
         elapsed = time.time() - start
         logging.info(f'[eval] finished in {elapsed // 60:.0f}m '
                      f'{elapsed % 60:.0f}s: ' +

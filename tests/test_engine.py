@@ -733,3 +733,16 @@ def test_matmul_precision_policy():
     finally:
         reset(ambient=prev, engine_set=prev_flag, user_ambient=prev_user,
               last_write=prev_write)
+
+
+def test_eval_extended_coco_metrics():
+    """``coco_metrics = {'extended': True}`` adds the full COCO scoreboard
+    (area-banded AP, AR@k) to the eval result."""
+    cfg = load_config(SMOKE)
+    cfg.config.coco_metrics = {'extended': True}
+    exp = Experiment(cfg, phases=['eval'], debug=True)
+    metrics = exp.evaluate()
+    for key in ('mAP', 'mAP@[.5:.95]', 'mAP-small', 'mAP-large',
+                'AR@1', 'AR@100'):
+        assert key in metrics, key
+        assert 0.0 <= metrics[key] <= 1.0, (key, metrics[key])

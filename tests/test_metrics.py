@@ -204,3 +204,77 @@ def test_coco_sweep_empty_inputs():
         coco_mean_average_precision
     out = coco_mean_average_precision(np.zeros((0, 7)), [], verbose=False)
     assert out['mAP@[.5:.95]'] == 0.0
+
+
+def test_coco_extended_area_and_recall():
+    """Extended COCO scoreboard: area-banded AP and AR@k behave sanely."""
+    from single_shot_detection_tpu.ops.metrics import \
+        coco_mean_average_precision
+
+    # image 0: one small GT (20x20=400 px^2 < 32^2) detected perfectly;
+    # image 1: one large GT (200x200 px^2 > 96^2) missed entirely
+    gts = [np.array([[10., 10., 30., 30., 1., 1., 0.]]),
+           np.array([[0., 0., 200., 200., 1., 1., 0.]])]
+    # the FP outscores the TP so it lowers small-band precision at recall 1
+    preds = np.array([[0, 10., 10., 30., 30., 1., 0.9],
+                      [1, 300., 300., 310., 310., 1., 0.95]])  # small FP
+    out = coco_mean_average_precision(preds, gts, extended=True,
+                                      verbose=False)
+    # the small band sees the detected small GT plus the small unmatched FP
+    assert abs(out['mAP-small'] - 0.5) < 1e-9
+    assert out['AR-small'] == 1.0
+    # the large band only sees the missed large GT; the small FP is ignored
+    # there (out-of-range unmatched detection)
+    assert out['mAP-large'] == 0.0 and out['AR-large'] == 0.0
+    # no medium GT anywhere -> band excluded, reported as 0
+    assert out['mAP-medium'] == 0.0
+    # overall recall: 1 of 2 GT found
+    assert abs(out['AR@100'] - 0.5) < 1e-9
+
+
+def test_coco_extended_max_dets_cap():
+    """AR@1 considers only each image's best-scored detection."""
+    from single_shot_detection_tpu.ops.metrics import \
+        coco_mean_average_precision
+
+    gts = [np.array([[10., 10., 50., 50., 1., 1., 0.],
+                     [100., 100., 140., 140., 1., 1., 0.]])]
+    # best-scored detection hits GT#0; second detection hits GT#1
+    preds = np.array([[0, 10., 10., 50., 50., 1., 0.9],
+                      [0, 100., 100., 140., 140., 1., 0.8]])
+    out = coco_mean_average_precision(preds, gts, extended=True,
+                                      verbose=False)
+    assert abs(out['AR@1'] - 0.5) < 1e-9
+    assert abs(out['AR@10'] - 1.0) < 1e-9
+    assert abs(out['AR@100'] - 1.0) < 1e-9
+
+
+def test_coco_extended_consistent_with_base():
+    """extended=True must not change the base keys."""
+    from single_shot_detection_tpu.ops.metrics import \
+        coco_mean_average_precision
+    rng = np.random.RandomState(3)
+    gts = []
+    for _ in range(6):
+        k = rng.randint(1, 4)
+        xy = rng.rand(k, 2) * 100
+        wh = rng.rand(k, 2) * 80 + 5
+        cls = rng.randint(1, 4, (k, 1)).astype(float)
+        gts.append(np.concatenate([xy, xy + wh, cls, np.ones((k, 1)),
+                                   np.zeros((k, 1))], 1))
+    rows = []
+    for i in range(6):
+        for _ in range(rng.randint(2, 8)):
+            base = gts[i][rng.randint(len(gts[i]))]
+            rows.append([i, *(base[:4] + rng.randn(4) * 5), base[4],
+                         rng.rand()])
+    preds = np.asarray(rows)
+    base = coco_mean_average_precision(preds, gts, verbose=False)
+    ext = coco_mean_average_precision(preds, gts, extended=True,
+                                      verbose=False)
+    for k, v in base.items():
+        np.testing.assert_allclose(ext[k], v, atol=1e-12)
+    for k in ('mAP-small', 'mAP-medium', 'mAP-large',
+              'AR@1', 'AR@10', 'AR@100',
+              'AR-small', 'AR-medium', 'AR-large'):
+        assert k in ext and 0.0 <= ext[k] <= 1.0
