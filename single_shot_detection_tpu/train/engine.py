@@ -250,7 +250,8 @@ class Experiment:
                                           else steps_per_epoch))
         self.tx = optimizers.create_optimizer(
             opt_cfg, lr_schedule=self.lr_schedule,
-            accumulation_steps=self.accumulation_steps)
+            accumulation_steps=self.accumulation_steps,
+            clip_grad_norm=train_cfg.get('clip_grad_norm'))
 
         self.pruner_cfg = train_cfg.get('pruner')
         if self.pruner_cfg:

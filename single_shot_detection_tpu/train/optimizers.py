@@ -289,7 +289,9 @@ OPTIMIZERS = {
 
 def create_optimizer(optimizer_params: dict,
                      lr_schedule: Optional[Schedule] = None,
-                     accumulation_steps: int = 1) -> optax.GradientTransformation:
+                     accumulation_steps: int = 1,
+                     clip_grad_norm: Optional[float] = None
+                     ) -> optax.GradientTransformation:
     """Config-driven optimizer factory (parity: train_builder.py:8-31).
 
     ``lr_schedule`` (built by schedulers.create_lr_schedule) overrides the
@@ -297,6 +299,11 @@ def create_optimizer(optimizer_params: dict,
     (parity: train_builder.py:12-16 per-submodule lr groups).
     ``accumulation_steps > 1`` wraps the transformation in
     ``optax.MultiSteps`` (parity: trainer accumulation, train.py:66-85).
+    ``clip_grad_norm`` (beyond parity — torch's ``clip_grad_norm_`` analog,
+    config ``train.clip_grad_norm``) rescales gradients to the given global
+    norm before the update; under accumulation it clips the *accumulated*
+    mean gradient, matching the torch recipe of clipping right before
+    ``optimizer.step()``.
     """
     params = dict(optimizer_params)
     name = params.pop('name')
@@ -327,6 +334,8 @@ def create_optimizer(optimizer_params: dict,
     else:
         tx = factory(lr, **params)
 
+    if clip_grad_norm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(float(clip_grad_norm)), tx)
     if accumulation_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulation_steps)
     return tx

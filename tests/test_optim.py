@@ -203,3 +203,35 @@ def test_radam_matches_torch():
                   dict(lr=0.01, betas=(0.9, 0.999), weight_decay=0.02),
                   dict(lr=0.01, betas=(0.9, 0.999), weight_decay=0.02),
                   steps=8)
+
+
+def test_clip_grad_norm_matches_torch(rng):
+    """train.clip_grad_norm reproduces torch's clip_grad_norm_ + step."""
+    param = jnp.asarray(rng.randn(7).astype(np.float32))
+    grads = [jnp.asarray((rng.randn(7) * 10).astype(np.float32))
+             for _ in range(4)]
+    tx = optimizers.create_optimizer(
+        {'name': 'SGD', 'lr': 0.1, 'momentum': 0.9}, clip_grad_norm=1.0)
+    got = run_optax(tx, param, grads)
+
+    p = torch.nn.Parameter(torch.from_numpy(np.asarray(param)).clone())
+    opt = torch.optim.SGD([p], lr=0.1, momentum=0.9)
+    for g in grads:
+        opt.zero_grad()
+        p.grad = torch.from_numpy(np.asarray(g)).clone()
+        torch.nn.utils.clip_grad_norm_([p], 1.0)
+        opt.step()
+    np.testing.assert_allclose(got, p.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_clip_grad_norm_noop_below_limit(rng):
+    """Gradients under the limit pass through unchanged."""
+    param = jnp.asarray(rng.randn(5).astype(np.float32))
+    g = jnp.asarray((rng.randn(5) * 1e-3).astype(np.float32))
+    tx_plain = optimizers.create_optimizer({'name': 'SGD', 'lr': 0.1})
+    tx_clip = optimizers.create_optimizer({'name': 'SGD', 'lr': 0.1},
+                                          clip_grad_norm=10.0)
+    np.testing.assert_allclose(run_optax(tx_clip, param, [g]),
+                               run_optax(tx_plain, param, [g]),
+                               rtol=1e-6, atol=1e-8)
