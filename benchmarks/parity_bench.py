@@ -95,7 +95,8 @@ def build_from_config(path, dtype):
     return cfg, bundle, criterion, assigner, postprocessor, tx
 
 
-def bench_config(name, batch, dtype, steps, frozen_bn=False, int8=False):
+def bench_config(name, batch, dtype, steps, frozen_bn=False, int8=False,
+                 pre_nms_top_k=None, approx_top_k=False, recall_target=0.95):
     from single_shot_detection_tpu.train import (create_train_state,
                                                  make_train_step)
     from single_shot_detection_tpu.train.step import make_predict_step
@@ -131,6 +132,10 @@ def bench_config(name, batch, dtype, steps, frozen_bn=False, int8=False):
     train_img_s = batch * steps / elapsed
 
     # fused inference: forward + on-chip postprocess
+    if pre_nms_top_k is not None:
+        postprocessor.pre_nms_top_k = int(pre_nms_top_k)
+        postprocessor.pre_nms_approx = bool(approx_top_k)
+        postprocessor.pre_nms_recall = float(recall_target)
     variables = {'params': state.params, 'batch_stats': state.batch_stats}
     if int8:
         from single_shot_detection_tpu.export import quantize
@@ -166,6 +171,10 @@ def bench_config(name, batch, dtype, steps, frozen_bn=False, int8=False):
         row['frozen_bn'] = True
     if int8:
         row['int8_infer'] = True
+    if pre_nms_top_k is not None:
+        row['pre_nms_top_k'] = int(pre_nms_top_k)
+        if approx_top_k:
+            row['approx_top_k'] = True
     print(json.dumps(row), flush=True)
     return row
 
@@ -187,6 +196,13 @@ def main():
     ap.add_argument('--int8', action='store_true',
                     help='run the inference column through the calibrated '
                          'int8 PTQ path (export/quantize.py)')
+    ap.add_argument('--pre-nms-top-k', type=int, default=None,
+                    help='candidate pre-selection budget for the inference '
+                         'column (postprocess.pre_nms_top_k)')
+    ap.add_argument('--approx-top-k', action='store_true',
+                    help='use jax.lax.approx_max_k for the candidate '
+                         'pre-selection (requires --pre-nms-top-k)')
+    ap.add_argument('--recall-target', type=float, default=0.95)
     args = ap.parse_args()
     dtype = jnp.bfloat16 if args.dtype == 'bf16' else jnp.float32
 
@@ -195,12 +211,15 @@ def main():
         if args.configs and name.replace('.py', '') not in args.configs:
             continue
         batch = args.batch or batch
+        pp_kw = dict(pre_nms_top_k=args.pre_nms_top_k,
+                     approx_top_k=args.approx_top_k,
+                     recall_target=args.recall_target)
         rows.append(_retry(bench_config, name, batch, dtype, args.steps,
-                           frozen_bn=args.frozen_bn, int8=args.int8))
+                           frozen_bn=args.frozen_bn, int8=args.int8, **pp_kw))
         if name in ALIGNED and not args.no_aligned and args.batch is None:
             rows.append(_retry(bench_config, name, ALIGNED[name], dtype,
                                args.steps, frozen_bn=args.frozen_bn,
-                               int8=args.int8))
+                               int8=args.int8, **pp_kw))
 
     print('\nconfig                      batch  train img/s   ms/step  infer img/s')
     for r in rows:

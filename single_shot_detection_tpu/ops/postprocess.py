@@ -55,6 +55,17 @@ class Postprocessor:
         # by default: the reference ranks each class over ALL anchors
         # (box_utils.py:166-171); with N >= the anchors carrying real scores
         # (standard practice: 1000) results are identical in practice.
+        # Dict form ``{'k': 1000, 'approx': True, 'recall_target': 0.95}``
+        # selects candidates with ``jax.lax.approx_max_k`` — the TPU-native
+        # partial-reduction top-k (arXiv:2206.14286), much cheaper than the
+        # exact sort over many anchors.
+        self.pre_nms_approx = False
+        self.pre_nms_recall = 0.95
+        if isinstance(pre_nms_top_k, dict):
+            self.pre_nms_approx = bool(pre_nms_top_k.get('approx', False))
+            self.pre_nms_recall = float(pre_nms_top_k.get('recall_target',
+                                                          0.95))
+            pre_nms_top_k = pre_nms_top_k.get('k')
         self.pre_nms_top_k = int(pre_nms_top_k) if pre_nms_top_k else None
         if use_pallas is None:
             from single_shot_detection_tpu.ops import nms_pallas
@@ -73,16 +84,19 @@ class Postprocessor:
                             soft=self.soft,
                             sigma=self.sigma,
                             pre_nms_top_k=self.pre_nms_top_k,
+                            pre_nms_approx=self.pre_nms_approx,
+                            pre_nms_recall=self.pre_nms_recall,
                             use_pallas=self.use_pallas)
 
 
 @functools.partial(jax.jit, static_argnames=(
     'xy_scale', 'wh_scale', 'score_threshold', 'overlap_threshold',
     'max_per_class', 'score_converter', 'max_total', 'soft', 'sigma',
-    'pre_nms_top_k', 'use_pallas'))
+    'pre_nms_top_k', 'pre_nms_approx', 'pre_nms_recall', 'use_pallas'))
 def _postprocess(scores, locs, anchors, *, xy_scale, wh_scale, score_threshold,
                  overlap_threshold, max_per_class, score_converter, max_total,
-                 soft, sigma, pre_nms_top_k=None, use_pallas=False):
+                 soft, sigma, pre_nms_top_k=None, pre_nms_approx=False,
+                 pre_nms_recall=0.95, use_pallas=False):
     from single_shot_detection_tpu.ops.box_coder import BoxCoder
     coder = BoxCoder(xy_scale=xy_scale, wh_scale=wh_scale)
 
@@ -103,7 +117,14 @@ def _postprocess(scores, locs, anchors, *, xy_scale, wh_scale, score_threshold,
     # work downstream.
     if pre_nms_top_k is not None and pre_nms_top_k < num_anchors:
         best = jnp.max(probs, axis=-1)                       # [B, A]
-        _, cand = jax.lax.top_k(best, pre_nms_top_k)         # [B, N]
+        if pre_nms_approx:
+            # TPU-native partial-reduction top-k (arXiv:2206.14286): avoids
+            # the full sort over A anchors; aggregate_to_topk keeps the
+            # returned N exact within the approximate candidate set.
+            _, cand = jax.lax.approx_max_k(
+                best, pre_nms_top_k, recall_target=pre_nms_recall)
+        else:
+            _, cand = jax.lax.top_k(best, pre_nms_top_k)     # [B, N]
         probs = jnp.take_along_axis(probs, cand[..., None], axis=1)
         boxes = jnp.take_along_axis(boxes, cand[..., None], axis=1)
         num_anchors = pre_nms_top_k

@@ -108,3 +108,46 @@ def test_pre_nms_top_k_equivalence():
     np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
     np.testing.assert_allclose(np.asarray(d0)[np.asarray(v0)],
                                np.asarray(d1)[np.asarray(v1)], atol=1e-5)
+
+
+def test_pre_nms_top_k_approx_candidate_selection(rng):
+    """Dict-form pre_nms_top_k with approx=True (jax.lax.approx_max_k
+    candidate pre-selection) recovers the real detections when the
+    candidate budget comfortably exceeds the scoring anchors."""
+    import jax.numpy as jnp
+    from single_shot_detection_tpu.ops.box_coder import BoxCoder
+    from single_shot_detection_tpu.ops.postprocess import Postprocessor
+
+    rs = np.random.RandomState(13)
+    B, A, C = 2, 512, 6
+    anchors = np.stack([rs.uniform(20, 280, A), rs.uniform(20, 280, A),
+                        rs.uniform(20, 60, A), rs.uniform(20, 60, A)],
+                       axis=-1).astype(np.float32)
+    scores = np.full((B, A, C), -9.0, np.float32)
+    for b in range(B):
+        for a in rs.choice(A, 16, replace=False):
+            scores[b, a, rs.randint(1, C)] = rs.uniform(2.0, 6.0)
+    locs = rs.randn(B, A, 4).astype(np.float32) * 0.1
+
+    coder = BoxCoder(10.0, 5.0)
+    kw = dict(box_coder=coder, score_threshold=0.1,
+              nms={'max_per_class': 10, 'overlap_threshold': 0.5},
+              score_converter='SOFTMAX', max_total=20, use_pallas=False)
+    exact = Postprocessor(pre_nms_top_k=128, **kw)
+    approx = Postprocessor(pre_nms_top_k={'k': 128, 'approx': True,
+                                          'recall_target': 0.95}, **kw)
+    assert approx.pre_nms_approx and approx.pre_nms_top_k == 128
+
+    d0, v0 = exact(jnp.asarray(scores), jnp.asarray(locs),
+                   jnp.asarray(anchors))
+    d1, v1 = approx(jnp.asarray(scores), jnp.asarray(locs),
+                    jnp.asarray(anchors))
+    # the 16 true detections sit far above the noise floor; a 128-candidate
+    # approx selection must recover (nearly) all of them.  Compare the
+    # top-scoring detection sets by (class, score) rows.
+    got = {(int(c), round(float(s), 4))
+           for *_, c, s in np.asarray(d1)[np.asarray(v1)]}
+    want = {(int(c), round(float(s), 4))
+            for *_, c, s in np.asarray(d0)[np.asarray(v0)]}
+    missing = want - got
+    assert len(missing) <= max(1, int(0.1 * len(want))), (missing, want)
