@@ -13,8 +13,9 @@ import time
 
 import numpy as np
 
-from single_shot_detection_tpu.ops.metrics import (mean_average_precision,
-                                                   mean_average_precision_loop)
+from single_shot_detection_tpu.ops.metrics import (
+    coco_mean_average_precision, mean_average_precision,
+    mean_average_precision_loop)
 
 
 def synth(n_img=5000, n_cls=80, preds_per=100, seed=0):
@@ -49,6 +50,9 @@ def main():
                     help='also time the reference-semantics loop oracle '
                          '(slow: minutes at full volume)')
     ap.add_argument('--images', type=int, default=5000)
+    ap.add_argument('--coco', action='store_true',
+                    help='also time the COCO-protocol sweep and the '
+                         'extended scoreboard (area AP + AR@k)')
     args = ap.parse_args()
 
     preds, gts = synth(n_img=args.images)
@@ -61,6 +65,19 @@ def main():
     dt = time.time() - t0
     print(f'vectorized: {dt:.2f}s  mAP={m:.4f}  '
           f'({len(preds) / dt / 1e3:.0f}k preds/s)')
+
+    if args.coco:
+        t0 = time.time()
+        out = coco_mean_average_precision(preds, gts, verbose=False)
+        dt_c = time.time() - t0
+        print(f'COCO sweep (10 thr): {dt_c:.2f}s  '
+              f'mAP@[.5:.95]={out["mAP@[.5:.95]"]:.4f}')
+        t0 = time.time()
+        out = coco_mean_average_precision(preds, gts, extended=True,
+                                          verbose=False)
+        dt_e = time.time() - t0
+        print(f'COCO extended (areas + AR@k, 70 sweeps): {dt_e:.2f}s  '
+              f'AR@100={out["AR@100"]:.4f}')
 
     if args.loop:
         t0 = time.time()
