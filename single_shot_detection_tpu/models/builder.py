@@ -149,6 +149,8 @@ def build(base: dict,
                       use_depthwise=use_depthwise,
                       predictor=dict(predictor) if predictor else None,
                       score_head_bias_init=heads.get('score_head_bias_init', 0.0),
+                      extras_initializer=extras.get('initializer'),
+                      head_initializer=heads.get('initializer'),
                       axis_name=axis_name,
                       dtype=dtype,
                       head_dtype=head_dtype)

@@ -20,7 +20,8 @@ from typing import Any, Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from single_shot_detection_tpu.models.layers import ConvBn, DepthwiseConvBn
+from single_shot_detection_tpu.models.layers import (ConvBn, DepthwiseConvBn,
+                                                     get_initializer)
 
 head_kernel_init = nn.initializers.normal(stddev=0.01)
 xavier = nn.initializers.glorot_normal()
@@ -40,15 +41,18 @@ class ExtraLayer(nn.Module):
     use_depthwise: bool = False
     reduce_features: Optional[int] = None  # pruning-materialize override
     activation: Optional[str] = 'ReLU'
+    initializer: Any = None  # reference-style {'name': ..., 'args': ...}
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        # parity: the reference initializes every extras conv with
-        # xavier_normal + zero bias (detector_builder.py:100-107)
+        # parity: the reference initializes every extras conv with a config
+        # initializer, xavier_normal + zero bias by default
+        # (detector_builder.py:61,100-107)
         common = dict(activation=self.activation, axis_name=self.axis_name,
-                      dtype=self.dtype, kernel_init=xavier)
+                      dtype=self.dtype,
+                      kernel_init=get_initializer(self.initializer, xavier))
         reduce_f = (self.reduce_features if self.reduce_features is not None
                     else self.out_channels // 2)
         if self.type == 'm':
@@ -77,6 +81,7 @@ class SharedConvPredictor(nn.Module):
     kernel_size: int = 3
     use_depthwise: bool = False
     activation: str = 'ReLU'
+    initializer: Any = None  # reference-style {'name': ..., 'args': ...}
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
 
@@ -84,6 +89,9 @@ class SharedConvPredictor(nn.Module):
     def __call__(self, sources, train: bool = False):
         from single_shot_detection_tpu.models.layers import ACTIVATIONS
         act = ACTIVATIONS[self.activation]
+        # parity: the reference's tower convs default to normal(std=0.01)
+        # + zero bias (predictors.py:19,51-55)
+        kinit = get_initializer(self.initializer, head_kernel_init)
 
         outputs = {}
         for head in ('score', 'loc'):
@@ -94,12 +102,14 @@ class SharedConvPredictor(nn.Module):
                                            kernel_size=self.kernel_size,
                                            padding=1, use_bias=True,
                                            use_bn=False, activation=None,
+                                           kernel_init=kinit,
                                            dtype=self.dtype,
                                            name=f'{head}_conv{layer}')
                 else:
                     conv = ConvBn(self.num_channels, kernel_size=self.kernel_size,
                                   padding=1, use_bias=True, use_bn=False,
-                                  activation=None, dtype=self.dtype,
+                                  activation=None, kernel_init=kinit,
+                                  dtype=self.dtype,
                                   name=f'{head}_conv{layer}')
                 new_feats = []
                 for level, f in enumerate(feats):
@@ -129,6 +139,8 @@ class Detector(nn.Module):
     use_depthwise: bool = False
     predictor: Optional[dict] = None
     score_head_bias_init: float = 0.0
+    extras_initializer: Any = None  # reference-style {'name': ..., 'args': ...}
+    head_initializer: Any = None    # reference-style {'name': ..., 'args': ...}
     extras_overrides: Any = None  # per-extra {'reduce': n, 'out': n} widths
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
@@ -149,6 +161,7 @@ class Detector(nn.Module):
             x = ExtraLayer(type_, override.get('out', out_channels),
                            self.use_depthwise,
                            reduce_features=override.get('reduce'),
+                           initializer=self.extras_initializer,
                            axis_name=self.axis_name, dtype=self.dtype,
                            name=f'extra{i}')(x, train)
             sources.append(x)
@@ -159,7 +172,7 @@ class Detector(nn.Module):
         if self.predictor is not None:
             pred_kwargs = {k: v for k, v in self.predictor.items()
                            if k in ('num_layers', 'num_channels', 'kernel_size',
-                                    'activation')}
+                                    'activation', 'initializer')}
             # reference configs use {'name': ..., 'args': ...} activation dicts
             # (flax may have frozen the nested dict into a Mapping)
             import collections.abc
@@ -174,15 +187,18 @@ class Detector(nn.Module):
 
         batch = x.shape[0]
         head_dtype = self.head_dtype if self.head_dtype is not None else self.dtype
+        # parity: heads default to normal(std=0.01), config-overridable
+        # (detector_builder.py:114-123)
+        hinit = get_initializer(self.head_initializer, head_kernel_init)
         scores, locs = [], []
         for i, (nb, ss, ls) in enumerate(zip(self.num_boxes, score_sources,
                                              loc_sources)):
             s = nn.Conv(nb * self.num_classes, (3, 3), padding=((1, 1), (1, 1)),
-                        use_bias=True, kernel_init=head_kernel_init,
+                        use_bias=True, kernel_init=hinit,
                         bias_init=nn.initializers.constant(self.score_head_bias_init),
                         dtype=head_dtype, name=f'score_head{i}')(ss)
             l = nn.Conv(nb * 4, (3, 3), padding=((1, 1), (1, 1)),
-                        use_bias=True, kernel_init=head_kernel_init,
+                        use_bias=True, kernel_init=hinit,
                         dtype=head_dtype, name=f'loc_head{i}')(ls)
             # NHWC: [B, H, W, nb*C] -> [B, H*W*nb, C]; matches anchor order
             scores.append(s.reshape(batch, -1, self.num_classes))

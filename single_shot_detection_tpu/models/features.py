@@ -20,8 +20,11 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from single_shot_detection_tpu.models.layers import ConvBn, DepthwiseConvBn
+from single_shot_detection_tpu.models.layers import (ConvBn, DepthwiseConvBn,
+                                                     get_initializer)
 
+# the reference initializes every neck conv xavier_normal by default and
+# honors a config ``initializer`` dict (features.py:24,37,61,131,224,314)
 xavier = nn.initializers.glorot_normal()
 
 
@@ -70,6 +73,7 @@ class FeaturePyramid(nn.Module):
     use_depthwise: bool = False
     activation: Optional[str] = 'ReLU'
     last_feature_layer: Optional[int] = None
+    initializer: Any = None  # reference-style {'name': ..., 'args': ...}
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
     width_overrides: Any = None  # {'lateral': n, 'output': (n0, ...)} —
@@ -82,6 +86,7 @@ class FeaturePyramid(nn.Module):
         sources = [aux[tuple(l)] if isinstance(l, (tuple, list)) else stages[l]
                    for l in self.out_layers]
 
+        kinit = get_initializer(self.initializer, xavier)
         ov = self.width_overrides or {}
         lateral_ch = ov.get('lateral', self.pyramid_channels)
 
@@ -89,7 +94,7 @@ class FeaturePyramid(nn.Module):
             outs = ov.get('output')
             return outs[i] if outs and outs[i] else self.pyramid_channels
 
-        feats = [nn.Conv(lateral_ch, (1, 1), kernel_init=xavier,
+        feats = [nn.Conv(lateral_ch, (1, 1), kernel_init=kinit,
                          dtype=self.dtype, name=f'lateral{i}')(s)
                  for i, s in enumerate(sources)]
 
@@ -107,6 +112,7 @@ class FeaturePyramid(nn.Module):
                                   stride=2 if extra else 1, padding=1,
                                   groups=inp.shape[-1] if self.use_depthwise
                                   else 1, activation=self.activation,
+                                  kernel_init=kinit,
                                   axis_name=self.axis_name, dtype=self.dtype,
                                   name=f'output{i}')(inp, train))
         return outputs, outputs[-1]
@@ -127,6 +133,7 @@ class DepthwiseFeaturePyramid(nn.Module):
     interpolation_mode: str = 'nearest'
     activation: Optional[str] = 'ReLU'
     last_feature_layer: Optional[int] = None
+    initializer: Any = None  # reference-style {'name': ..., 'args': ...}
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
 
@@ -136,7 +143,8 @@ class DepthwiseFeaturePyramid(nn.Module):
         sources = [aux[tuple(l)] if isinstance(l, (tuple, list)) else stages[l]
                    for l in self.out_layers]
 
-        feats = [nn.Conv(self.pyramid_channels, (1, 1), kernel_init=xavier,
+        kinit = get_initializer(self.initializer, xavier)
+        feats = [nn.Conv(self.pyramid_channels, (1, 1), kernel_init=kinit,
                          dtype=self.dtype, name=f'lateral{i}')(s)
                  for i, s in enumerate(sources)]
 
@@ -151,10 +159,12 @@ class DepthwiseFeaturePyramid(nn.Module):
                              constant_values=-jnp.inf)
             pooled = nn.max_pool(padded, (2, 2), strides=(2, 2))
             first = ConvBn(half, kernel_size=1, activation=self.activation,
+                           kernel_init=kinit,
                            axis_name=self.axis_name, dtype=self.dtype,
                            name=f'down{i}_pool_conv')(pooled, train)
             second = DepthwiseConvBn(half, kernel_size=3, stride=2, padding=1,
                                      activation=self.activation,
+                                     kernel_init=kinit,
                                      axis_name=self.axis_name, dtype=self.dtype,
                                      name=f'down{i}_dw')(prev, train)
             feats.append(jnp.concatenate([first, second], axis=-1))
@@ -164,6 +174,7 @@ class DepthwiseFeaturePyramid(nn.Module):
             up = interpolate(output[-1], feats[i].shape[1:3], self.interpolation_mode)
             up = ConvBn(self.pyramid_channels, kernel_size=3, padding=1,
                         groups=self.pyramid_channels, activation=self.activation,
+                        kernel_init=kinit,
                         axis_name=self.axis_name, dtype=self.dtype,
                         name=f'up{i}')(up, train)
             output.append(up + feats[i])
@@ -184,6 +195,7 @@ class ThinnedUshapeModule(nn.Module):
     interpolation_mode: str = 'nearest'
     use_depthwise: bool = False
     activation: Optional[str] = 'ReLU'
+    initializer: Any = None  # reference-style {'name': ..., 'args': ...}
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
 
@@ -191,6 +203,7 @@ class ThinnedUshapeModule(nn.Module):
     def __call__(self, x, train: bool = False):
         conv_op = DepthwiseConvBn if self.use_depthwise else ConvBn
         common = dict(activation=self.activation, axis_name=self.axis_name,
+                      kernel_init=get_initializer(self.initializer, xavier),
                       dtype=self.dtype)
 
         down_path = [x]
@@ -221,17 +234,22 @@ class ScalewiseFeatureAggregationModule(nn.Module):
 
     num_scales: int
     reduction_ratio: int = 16
+    initializer: Any = None  # reference-style {'name': ..., 'args': ...}
 
     @nn.compact
     def __call__(self, features):
         assert len(features) == self.num_scales
+        # reference: MLFPN's init_layer sweeps the SFAM convs too
+        # (features.py:365), xavier_normal by default
+        kinit = get_initializer(self.initializer, xavier)
         result = []
         for i, feature in enumerate(features):
             channels = feature.shape[-1]
             g = jnp.mean(feature, axis=(1, 2), keepdims=True)
-            g = nn.Conv(channels // self.reduction_ratio, (1, 1), name=f'fc1_{i}')(g)
+            g = nn.Conv(channels // self.reduction_ratio, (1, 1),
+                        kernel_init=kinit, name=f'fc1_{i}')(g)
             g = nn.relu(g)
-            g = nn.Conv(channels, (1, 1), name=f'fc2_{i}')(g)
+            g = nn.Conv(channels, (1, 1), kernel_init=kinit, name=f'fc2_{i}')(g)
             g = nn.sigmoid(g)
             result.append(feature * g)
         return result
@@ -257,6 +275,7 @@ class MultilevelFeaturePyramid(nn.Module):
     tum: Any = None
     sfam: Any = None
     last_feature_layer: Optional[int] = None
+    initializer: Any = None  # reference-style {'name': ..., 'args': ...}
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
 
@@ -272,6 +291,7 @@ class MultilevelFeaturePyramid(nn.Module):
                    for l in self.out_layers]
 
         common = dict(activation=self.activation, axis_name=self.axis_name,
+                      kernel_init=get_initializer(self.initializer, xavier),
                       dtype=self.dtype)
         reduced = [ConvBn(c, kernel_size=1, name=f'base_reducer{i}', **common)(s, train)
                    for i, (s, c) in enumerate(zip(sources, self.base_reduced_channels))]
@@ -285,7 +305,8 @@ class MultilevelFeaturePyramid(nn.Module):
             num_scales=self.num_scales,
             interpolation_mode=self.interpolation_mode,
             use_depthwise=self.use_depthwise,
-            activation=self.activation, axis_name=self.axis_name,
+            activation=self.activation, initializer=self.initializer,
+            axis_name=self.axis_name,
             dtype=self.dtype, name=f'tum{i}',
             **{k: v for k, v in tum_cfg.items()
                if k in ('inner_channels', 'out_channels')})
@@ -304,6 +325,7 @@ class MultilevelFeaturePyramid(nn.Module):
         features = ScalewiseFeatureAggregationModule(
             num_scales=self.num_scales,
             reduction_ratio=sfam_cfg.get('reduction_ratio', 16),
+            initializer=self.initializer,
             name='sfam')(features)
         return features, features[-1]
 

@@ -46,6 +46,45 @@ def get_activation(params: Optional[dict]) -> Optional[Callable]:
     return ACTIVATIONS[params['name']]
 
 
+def get_initializer(params, default: Optional[Callable] = None) -> Optional[Callable]:
+    """Resolve a reference-style initializer config dict to a flax initializer.
+
+    The reference threads ``{'name': <torch nn.init fn>, 'args': {...}}``
+    dicts through its neck/extras/predictor/heads configs
+    (features.py:37, detector_builder.py:100,116, predictors.py:51) and
+    applies them to conv weights (biases are zeroed — flax's default).
+    Supported names mirror the ones its shipped samples and defaults use;
+    the variance math matches torch's for conv kernels (both compute
+    fan_in = in_channels/groups * k*k).
+    """
+    if params is None:
+        return default
+    name = params['name']
+    args = dict(params.get('args', {}))
+    if name == 'normal_':
+        if args.pop('mean', 0) != 0:
+            raise ValueError('normal_ initializer: only mean=0 is supported')
+        return nn.initializers.normal(stddev=args.pop('std', 1.0))
+    if name == 'constant_':
+        return nn.initializers.constant(args.pop('val'))
+    simple = {
+        'xavier_normal_': nn.initializers.glorot_normal,
+        'xavier_uniform_': nn.initializers.glorot_uniform,
+        # torch defaults: nonlinearity='leaky_relu', a=0 -> gain sqrt(2),
+        # identical to He init
+        'kaiming_normal_': nn.initializers.he_normal,
+        'kaiming_uniform_': nn.initializers.he_uniform,
+        'zeros_': nn.initializers.zeros_init,
+        'ones_': nn.initializers.ones_init,
+    }
+    if name not in simple:
+        raise ValueError(f'Unsupported initializer {name!r} '
+                         f'(supported: normal_, constant_, {", ".join(simple)})')
+    if args:
+        raise ValueError(f'{name}: unsupported args {sorted(args)}')
+    return simple[name]()
+
+
 def tf_same_pad(kernel_size: int, stride: int) -> Tuple[Tuple[int, int], Tuple[int, int]]:
     """Padding used by the custom MobileNets: symmetric ``k // 2`` at stride 1,
     TF-style asymmetric ``(0, 1)`` at stride 2 (mobilenet_v2.py:17, :52)."""

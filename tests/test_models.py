@@ -100,3 +100,92 @@ def test_inner_tap_out_layers():
     scores, locs = bundle.module.apply(
         variables, jnp.ones((1, 160, 160, 3)), train=False)
     assert scores.shape[1] == bundle.anchors((160, 160)).shape[0]
+
+
+def test_config_initializers_honored():
+    """Reference-style ``initializer`` config dicts reach the right convs
+    (parity: features.py:24-38, detector_builder.py:61,100-123,
+    predictors.py:19,51-55) and the predictor towers default to
+    normal(std=0.01) like the reference's SharedConvPredictor."""
+    from single_shot_detection_tpu.models import builder as b
+
+    bundle = b.build(
+        base={'name': 'mobilenet_025'},
+        anchor_generator={'type': 'retina_net', 'min_level': 3,
+                          'max_level': 6, 'aspect_ratios': [1.0, 2.0],
+                          'scale': 4.0, 'scales_per_level': 2},
+        num_classes=5,
+        features={'name': 'FeaturePyramid', 'out_layers': (5, 11, 13),
+                  'pyramid_layers': 4, 'pyramid_channels': 64,
+                  'initializer': {'name': 'normal_',
+                                  'args': {'mean': 0, 'std': 0.03}}},
+        predictor={'num_layers': 2, 'num_channels': 64,
+                   'initializer': {'name': 'normal_',
+                                   'args': {'mean': 0, 'std': 0.005}}},
+        heads={'initializer': {'name': 'normal_',
+                               'args': {'mean': 0, 'std': 0.002}},
+               'score_head_bias_init': -4.6},
+        input_size=(64, 64))
+    variables = bundle.init(jax.random.PRNGKey(3))
+    params = variables['params']
+
+    def std_of(path_params):
+        return float(np.std(np.asarray(path_params['kernel'])))
+
+    # FPN laterals + output convs: configured std 0.03 (vs glorot default)
+    feats = params['features']
+    assert abs(std_of(feats['lateral0']) - 0.03) < 0.01
+    assert abs(std_of(feats['output0']['conv']) - 0.03) < 0.005
+    # predictor towers: configured std 0.005
+    pred = params['predictor']
+    assert abs(std_of(pred['score_conv0']['conv']) - 0.005) < 0.001
+    assert abs(std_of(pred['loc_conv1']['conv']) - 0.005) < 0.001
+    # heads: configured std 0.002, score bias -4.6
+    assert abs(std_of(params['score_head0']) - 0.002) < 0.0005
+    assert abs(std_of(params['loc_head1']) - 0.002) < 0.0005
+    assert np.allclose(np.asarray(params['score_head0']['bias']), -4.6)
+
+
+def test_predictor_tower_default_init_is_normal_001():
+    """Without a config initializer the shared towers come out ~N(0, 0.01)
+    — the reference's default (predictors.py:19) — not flax lecun_normal."""
+    from single_shot_detection_tpu.models.detector import SharedConvPredictor
+    m = SharedConvPredictor(num_layers=1, num_channels=32)
+    variables = m.init(jax.random.PRNGKey(0),
+                       [jnp.zeros((1, 8, 8, 16)), jnp.zeros((1, 4, 4, 16))])
+    k = np.asarray(variables['params']['score_conv0']['conv']['kernel'])
+    assert abs(float(np.std(k)) - 0.01) < 0.002
+    # lecun_normal on 3x3x16 fan-in would be ~0.083 — far outside the band
+
+
+def test_extras_config_initializer():
+    """extras ``initializer`` reaches the extra-scale convs
+    (xavier_uniform_ here: bounded support distinguishes it from the
+    default xavier_normal)."""
+    from single_shot_detection_tpu.models import builder as b
+    bundle = b.build(
+        base={'name': 'mobilenet_025'},
+        anchor_generator={'type': 'ssd', 'num_scales': 3, 'min_scale': 0.2,
+                          'max_scale': 0.9, 'aspect_ratios': [[1.0, 2.0]] * 3},
+        num_classes=5,
+        features={'name': 'Features', 'out_layers': (11, 13)},
+        extras={'layers': (('s', 64),),
+                'initializer': {'name': 'xavier_uniform_'}},
+        input_size=(64, 64))
+    variables = bundle.init(jax.random.PRNGKey(1))
+    k = np.asarray(
+        variables['params']['extra0']['expand']['conv']['kernel'])
+    fan_in = k.shape[0] * k.shape[1] * k.shape[2]
+    fan_out = k.shape[0] * k.shape[1] * k.shape[3]
+    limit = np.sqrt(6.0 / (fan_in + fan_out))
+    assert np.abs(k).max() <= limit + 1e-6      # uniform support bound
+    assert np.abs(k).max() > 0.9 * limit        # ...and actually fills it
+
+
+def test_unsupported_initializer_raises():
+    from single_shot_detection_tpu.models.layers import get_initializer
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match='Unsupported initializer'):
+        get_initializer({'name': 'orthogonal_'})
+    with _pytest.raises(ValueError, match='mean=0'):
+        get_initializer({'name': 'normal_', 'args': {'mean': 1, 'std': 1}})
