@@ -7,10 +7,15 @@ model = {
         'num_classes': 20,
         'use_depthwise': False,
         'features': {'name': 'FeaturePyramid', 'out_layers': (5, 6, 7),
-                     'pyramid_layers': 5, 'pyramid_channels': 256},
+                     'pyramid_layers': 5, 'pyramid_channels': 256,
+                     'initializer': {'name': 'normal_',
+                                     'args': {'mean': 0, 'std': 0.03}}},
         'predictor': {'num_layers': 4, 'num_channels': 256, 'kernel_size': 3,
-                      'activation': {'name': 'ReLU', 'args': {'inplace': True}}},
-        'heads': {'score_head_bias_init': -4.6},
+                      'activation': {'name': 'ReLU', 'args': {'inplace': True}},
+                      'initializer': {'name': 'normal_',
+                                      'args': {'mean': 0, 'std': 0.01}}},
+        'heads': {'initializer': {'name': 'normal_', 'args': {'mean': 0, 'std': 0.01}},
+                  'score_head_bias_init': -4.6},
     },
     'anchor_generator': {
         'type': 'retina_net',

@@ -48,8 +48,10 @@ def _register_all():
 
     register('mobilenet_v2', mbv2)
     register('torchvision_mobilenet_v2', mbv2)
-    # custom width multipliers (parity: base/__init__.py:40-57)
-    for mult, suffix in [(1.0, '10'), (0.75, '075'), (0.5, '05'), (0.35, '035')]:
+    # custom width multipliers (parity: base/__init__.py:46-54 —
+    # reference names use '050'; '05' kept as a compat alias)
+    for mult, suffix in [(1.0, '10'), (0.75, '075'), (0.5, '050'),
+                         (0.5, '05'), (0.35, '035')]:
         register(f'mobilenet_v2_{suffix}',
                  functools.partial(mbv2, depth_multiplier=mult))
 
@@ -62,7 +64,8 @@ def _register_all():
             return MobileNet(depth_multiplier=depth_multiplier, **kwargs)
 
         register('mobilenet_v1', mbv1)
-        for mult, suffix in [(1.0, '10'), (0.75, '075'), (0.5, '05'), (0.25, '025')]:
+        for mult, suffix in [(1.0, '10'), (0.75, '075'), (0.5, '050'),
+                             (0.5, '05'), (0.25, '025')]:
             register(f'mobilenet_{suffix}',
                      functools.partial(mbv1, depth_multiplier=mult))
     except ImportError:

@@ -35,13 +35,16 @@ TRAIN_N, EVAL_N = 96, 16
 NUM_CLASSES = 5
 BATCH = 8
 
-# matched experiment hyperparameters (mirrors the committed round-2
-# learning-evidence config, experiments/2026-08-16-225820/config.py, with
-# photometric/crop augmentations dropped: the reference's RandomCrop/HSV
-# paths need real OpenCV which this environment does not have)
-COMMON_CFG = """
-seed = {seed}
-
+# per-family model/detection-math sections (--family).  'ssd_mb2' mirrors
+# the committed round-2 learning-evidence config; 'retina_mb1' exercises a
+# disjoint code-path set cross-framework: FPN neck, SharedConvPredictor
+# towers, retina anchor generator, SigmoidFocalLoss + naive sampler,
+# SIGMOID score converter, config 'initializer' dicts.  Both templates are
+# valid for BOTH frameworks (the config dict is the shared public API);
+# backbones are the custom MobileNets because the reference's torchvision
+# backbones cannot instantiate in this egress-free environment.
+FAMILY_SECTIONS = {
+    'ssd_mb2': """
 model = {{
     'base': {{'name': 'mobilenet_v2_035'}},
     'detector': {{
@@ -58,8 +61,6 @@ model = {{
         'aspect_ratios': [[1.0, 2.0]] * 3,
     }},
 }}
-
-box_coder = {{'xy_scale': 10.0, 'wh_scale': 5.0}}
 
 sampler = {{
     'name': 'hard_negative_mining',
@@ -82,6 +83,66 @@ postprocess = {{
 }}
 
 target_assigner = {{'matched_threshold': 0.5, 'unmatched_threshold': 0.5}}
+""",
+    'retina_mb1': """
+model = {{
+    'base': {{'name': 'mobilenet_050'}},
+    'detector': {{
+        'num_classes': {num_classes},
+        'use_depthwise': False,
+        'features': {{'name': 'FeaturePyramid', 'out_layers': (5, 11, 13),
+                     'pyramid_layers': 4, 'pyramid_channels': 64,
+                     'initializer': {{'name': 'normal_',
+                                     'args': {{'mean': 0, 'std': 0.03}}}}}},
+        'predictor': {{'num_layers': 2, 'num_channels': 64, 'kernel_size': 3,
+                      'activation': {{'name': 'ReLU',
+                                     'args': {{'inplace': True}}}},
+                      'initializer': {{'name': 'normal_',
+                                      'args': {{'mean': 0, 'std': 0.01}}}}}},
+        'heads': {{'initializer': {{'name': 'normal_',
+                                  'args': {{'mean': 0, 'std': 0.01}}}},
+                  'score_head_bias_init': -4.6}},
+    }},
+    'anchor_generator': {{
+        'type': 'retina_net',
+        'min_level': 3,
+        'max_level': 6,
+        'aspect_ratios': [1.0, 2.0, 0.5],
+        'scale': 4.0,
+        'scales_per_level': 2,
+    }},
+}}
+
+sampler = {{
+    'name': 'naive_sampler',
+}}
+
+loss = {{
+    'classification_loss': {{'name': 'SigmoidFocalLoss', 'gamma': 2.0,
+                            'alpha': 0.25}},
+    'localization_loss': {{'name': 'SmoothL1Loss'}},
+    'classification_weight': 1.0,
+    'localization_weight': 1.0,
+}}
+
+postprocess = {{
+    'score_threshold': 0.05,
+    'max_total': 50,
+    'nms': {{'max_per_class': 20, 'overlap_threshold': 0.5}},
+    'score_converter': 'SIGMOID',
+}}
+
+target_assigner = {{'matched_threshold': 0.5, 'unmatched_threshold': 0.4}}
+""",
+}
+
+# matched experiment hyperparameters (photometric/crop augmentations
+# dropped: the reference's RandomCrop/HSV paths need real OpenCV which
+# this environment does not have)
+COMMON_CFG = """
+seed = {seed}
+{family_sections}
+box_coder = {{'xy_scale': 10.0, 'wh_scale': 5.0}}
 
 augmentations = [
     {{'name': 'RandomHorizontalFlip'}},
@@ -110,7 +171,7 @@ train = {{
     'epochs': {epochs},
     'eval_every': {eval_every},
     'max_gt': 8,
-    'optimizer': {{'name': 'SGD', 'lr': 2e-3, 'momentum': 0.9}},
+    'optimizer': {{'name': 'SGD', 'lr': {lr}, 'momentum': 0.9}},
     'scheduler': {{'name': 'MultiStepLR', 'milestones': [{milestones}],
                   'gamma': 0.1}},
 }}
@@ -321,15 +382,20 @@ def stage_dataset(workdir):
     return csvs
 
 
-def write_configs(workdir, csvs, epochs, seed=23, milestones='100,130'):
+def write_configs(workdir, csvs, epochs, seed=23, milestones='100,130',
+                  family='ssd_mb2', lr=2e-3):
     labels = repr(['background'] + [f'class_{i}'
                                     for i in range(1, NUM_CLASSES)])
+    # splice the family text in FIRST (it uses the same {{...}} escaping),
+    # then format the whole config once
+    template = COMMON_CFG.replace('{family_sections}',
+                                  FAMILY_SECTIONS[family])
     out = {}
     for flavor in ('ours', 'ref'):
-        cfg = COMMON_CFG.format(
+        cfg = template.format(
             num_classes=NUM_CLASSES, img=IMG, batch=BATCH, epochs=epochs,
             eval_every=epochs, labels=labels, seed=seed,
-            milestones=milestones,
+            milestones=milestones, lr=lr,
             train_csv=csvs[('train', flavor)],
             eval_csv=csvs[('eval', flavor)])
         path = os.path.join(workdir, f'config_{flavor}.py')
@@ -408,6 +474,14 @@ def main():
     ap.add_argument('--train-n', type=int, default=96)
     ap.add_argument('--eval-n', type=int, default=16)
     ap.add_argument('--milestones', default='100,130')
+    ap.add_argument('--family', default='ssd_mb2',
+                    choices=sorted(FAMILY_SECTIONS),
+                    help='model/detection-math family (retina_mb1 exercises '
+                         'FPN + SharedConvPredictor + retina anchors + '
+                         'focal loss cross-framework)')
+    ap.add_argument('--lr', type=float, default=None,
+                    help='SGD learning rate (default: 2e-3 ssd_mb2, '
+                         '1e-3 retina_mb1)')
     ap.add_argument('--ours-cpu', action='store_true')
     ap.add_argument('--ours-matmul-precision', default=None,
                     choices=['default', 'high', 'highest',
@@ -424,8 +498,10 @@ def main():
 
     os.makedirs(args.workdir, exist_ok=True)
     csvs = stage_dataset(args.workdir)
+    lr = args.lr if args.lr is not None else \
+        {'ssd_mb2': 2e-3, 'retina_mb1': 1e-3}[args.family]
     cfgs = write_configs(args.workdir, csvs, args.epochs, args.seed,
-                         args.milestones)
+                         args.milestones, family=args.family, lr=lr)
     print(f'staged dataset + configs under {args.workdir}', flush=True)
 
     results = {}
