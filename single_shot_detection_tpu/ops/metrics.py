@@ -219,6 +219,17 @@ def _eval_at(match: dict, iou_threshold: float, voc: bool,
     average_precision = {c: 0.0 for c in total_positive}
     final_recall = {c: 0.0 for c in total_positive if total_positive[c] > 0}
 
+    # classes whose GT is all-difficult carry total_positive == 0: their
+    # recall is 0/0 (the reference divides by zero there too); keep the
+    # semantics, silence the numpy warning
+    with np.errstate(invalid='ignore', divide='ignore'):
+        return _per_class_eval(match, total_positive, tp_flag, fp_flag,
+                               final_recall, average_precision, voc)
+
+
+def _per_class_eval(match, total_positive, tp_flag, fp_flag, final_recall,
+                    average_precision, voc):
+    pred_cls = match['pred_cls']
     for class_index in sorted(total_positive.keys()):
         sel = pred_cls == class_index
         # drop ignored predictions (difficult matches): duplicate cumulative
