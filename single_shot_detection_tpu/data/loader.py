@@ -61,7 +61,8 @@ class Loader:
                  num_workers: int = 4,
                  prefetch: int = 2,
                  process_count: int = 1,
-                 process_index: int = 0):
+                 process_index: int = 0,
+                 staging_colorspace: str = 'rgb'):
         self.dataset = dataset
         self.batch_size = batch_size
         self.staging_size = tuple(staging_size)
@@ -74,6 +75,17 @@ class Loader:
         self.process_count = process_count
         self.process_index = process_index
         self.epoch = 0
+        # 'yuv420': stage packed planar YUV420 (1.5 B/px — halves the
+        # host->device transfer volume; the jitted step reconstructs RGB
+        # on-device, transforms.yuv420_to_rgb).  Requires even staging dims.
+        if staging_colorspace not in ('rgb', 'yuv420'):
+            raise ValueError(f'staging_colorspace {staging_colorspace!r}: '
+                             "expected 'rgb' or 'yuv420'")
+        if staging_colorspace == 'yuv420' and (
+                self.staging_size[0] % 2 or self.staging_size[1] % 2):
+            raise ValueError('yuv420 staging needs even staging dims, got '
+                             f'{self.staging_size}')
+        self.staging_colorspace = staging_colorspace
 
     def _indices(self) -> np.ndarray:
         n = len(self.dataset)
@@ -109,14 +121,31 @@ class Loader:
             if not path.lower().endswith(('.jpg', '.jpeg')):
                 return None
             paths.append(path)
+        if self.staging_colorspace == 'yuv420':
+            return native.decode_batch_into_yuv420(
+                paths, images[:len(idxs)], self.staging_size,
+                num_threads=self.num_workers)
         return native.decode_batch_into(paths, images[:len(idxs)],
                                         num_threads=self.num_workers)
+
+    def _stage_fallback(self, i: int):
+        """Python decode+stage for one sample, in the staging colorspace."""
+        from single_shot_detection_tpu.data import native
+        img, b = stage_image(self.dataset.load_image(int(i)),
+                             self.dataset.boxes(int(i)), self.staging_size)
+        if self.staging_colorspace == 'yuv420':
+            img = native.rgb_to_yuv420(img)
+        return img, b
 
     def _make_batch(self, idxs: np.ndarray, pool: ThreadPoolExecutor) -> dict:
         s = self.staging_size
         n = len(idxs)
 
-        images = np.zeros((self.batch_size, s[1], s[0], 3), np.uint8)
+        if self.staging_colorspace == 'yuv420':
+            images = np.zeros((self.batch_size, s[0] * s[1] * 3 // 2),
+                              np.uint8)
+        else:
+            images = np.zeros((self.batch_size, s[1], s[0], 3), np.uint8)
         boxes = np.zeros((self.batch_size, self.max_gt, 7), np.float32)
         mask = np.zeros((self.batch_size, self.max_gt), bool)
 
@@ -125,8 +154,7 @@ class Loader:
             for row, i in enumerate(idxs):
                 w, h = int(sizes[row, 0]), int(sizes[row, 1])
                 if w == 0 or h == 0:  # native decode failed: python fallback
-                    img, b = stage_image(self.dataset.load_image(int(i)),
-                                         self.dataset.boxes(int(i)), s)
+                    img, b = self._stage_fallback(int(i))
                     images[row] = img
                 else:
                     b = self.dataset.boxes(int(i)).copy()
@@ -140,11 +168,8 @@ class Loader:
                     boxes[row, :k, :b.shape[1]] = b[:k]
                     mask[row, :k] = True
         else:
-            def prepare(i):
-                img = self.dataset.load_image(int(i))
-                return stage_image(img, self.dataset.boxes(int(i)), s)
-
-            for row, (img, b) in enumerate(pool.map(prepare, idxs)):
+            for row, (img, b) in enumerate(pool.map(self._stage_fallback,
+                                                    idxs)):
                 images[row] = img
                 k = min(len(b), self.max_gt)
                 if k:
@@ -193,7 +218,8 @@ class Loader:
 def create_loaders(datasets: dict, batch_size: int, staging_size,
                    shuffle: bool = False, num_workers: int = 4,
                    max_gt: int = 100, seed: int = 23,
-                   process_count: int = 1, process_index: int = 0) -> dict:
+                   process_count: int = 1, process_index: int = 0,
+                   staging_colorspace: str = 'rgb') -> dict:
     """Per-phase loaders (parity: data_builder.py:44-87 — eval batch x2,
     drop_last for train)."""
     loaders = {}
@@ -208,5 +234,6 @@ def create_loaders(datasets: dict, batch_size: int, staging_size,
             seed=seed,
             num_workers=num_workers,
             process_count=process_count,
-            process_index=process_index)
+            process_index=process_index,
+            staging_colorspace=staging_colorspace)
     return loaders

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import functools
 import warnings
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +39,35 @@ ATTEMPTS = 50
 # ---------------------------------------------------------------------------
 # photometric ops (float32 images in [0, 255])
 # ---------------------------------------------------------------------------
+
+def yuv420_to_rgb(packed, size):
+    """Packed planar YUV420 ``[B, H*W*3//2]`` uint8 -> RGB uint8 ``[B,H,W,3]``.
+
+    Inverse of the native YUV staging path (native/decode.cpp
+    decode_batch_yuv420 / data/native.rgb_to_yuv420): bilinear chroma
+    upsample (half-pixel centers, matching the 2x2 subsample convention)
+    + BT.601 full-range matrix, fused into the on-device pipeline.  The
+    point is bandwidth: staged batches cross the host->device link at 1.5
+    bytes/pixel instead of 3.
+    """
+    w, h = size
+    n = h * w
+    q = (h // 2) * (w // 2)
+    y = packed[:, :n].reshape(-1, h, w).astype(jnp.float32)
+    cb = packed[:, n:n + q].reshape(-1, h // 2, w // 2).astype(jnp.float32)
+    cr = packed[:, n + q:].reshape(-1, h // 2, w // 2).astype(jnp.float32)
+
+    def up(c):
+        return jax.image.resize(c, (c.shape[0], h, w), method='linear')
+
+    cb = up(cb) - 128.0
+    cr = up(cr) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = jnp.stack([r, g, b], axis=-1)
+    return jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
+
 
 def _rgb_to_hsv(rgb):
     """RGB [0,1] -> HSV with h in [0,1)."""
@@ -493,8 +522,14 @@ class Pipeline:
                  augmentations: Sequence[dict] = (),
                  preprocessing: Sequence[dict] = (),
                  input_size: Tuple[int, int] = (300, 300),
-                 train: bool = True):
+                 train: bool = True,
+                 staging_yuv: Optional[Tuple[int, int]] = None):
         self.input_size = tuple(input_size)
+        # (w, h) when batches arrive as packed planar YUV420 (loader
+        # staging_colorspace='yuv420'): reconstruct RGB on-device first —
+        # inside the same jitted program, so the conversion fuses with the
+        # augmentation chain
+        self.staging_yuv = tuple(staging_yuv) if staging_yuv else None
         # transforms run in config order (the reference applies Compose
         # sequentially, transforms.py:13-17); photometric entries update the
         # staged image, geometric ones the window/box state
@@ -634,6 +669,8 @@ class Pipeline:
         return out, boxes, mask
 
     def _run_batch(self, rng, images, boxes, mask):
+        if self.staging_yuv is not None and images.ndim == 2:
+            images = yuv420_to_rgb(images, self.staging_yuv)
         keys = jax.random.split(rng, images.shape[0])
         return jax.vmap(self._run_one)(keys, images, boxes, mask)
 

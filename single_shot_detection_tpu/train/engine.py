@@ -172,29 +172,41 @@ class Experiment:
             ref = self.datasets.get('train') or self.datasets.get('eval')
             detector_cfg['num_classes'] = ref.num_classes
 
+        train_cfg0 = dict(cfg.train) if cfg.train else {}
+        # staging_size > input_size keeps more resolution for the
+        # on-device crop/zoom augmentations (the reference crops the
+        # original image; staging at input_size loses detail on zoom-in)
+        staging = tuple(train_cfg0.get('staging_size', input_size))
+        # 'yuv420' stages packed planar YUV420 (1.5 B/px): halves the
+        # host->device transfer volume — the decisive term on
+        # bandwidth-constrained links (docs/PERF.md relay analysis) — and
+        # cheapens host decode (no RGB conversion, quarter-area chroma).
+        # The pipeline reconstructs RGB on-device (transforms.yuv420_to_rgb).
+        self.staging_colorspace = str(
+            train_cfg0.get('staging_colorspace', 'rgb'))
+        staging_yuv = (staging if self.staging_colorspace == 'yuv420'
+                       else None)
+
         self.loaders = {}
         if self.datasets:
-            train_cfg = dict(cfg.train) if cfg.train else {}
-            # staging_size > input_size keeps more resolution for the
-            # on-device crop/zoom augmentations (the reference crops the
-            # original image; staging at input_size loses detail on zoom-in)
-            staging = tuple(train_cfg.get('staging_size', input_size))
             self.loaders = create_loaders(
                 self.datasets,
                 batch_size=cfg.batch_size or 32,
                 staging_size=staging,
                 shuffle=bool(cfg.shuffle),
                 num_workers=cfg.num_workers or 4,
-                max_gt=(train_cfg.get('max_gt', 100)),
+                max_gt=(train_cfg0.get('max_gt', 100)),
                 seed=self.seed,
                 process_count=process_count,
-                process_index=process_index)
+                process_index=process_index,
+                staging_colorspace=self.staging_colorspace)
 
         # --- pipelines ----------------------------------------------------
         self.train_pipeline = Pipeline(cfg.augmentations, cfg.preprocessing,
-                                       input_size, train=True)
+                                       input_size, train=True,
+                                       staging_yuv=staging_yuv)
         self.eval_pipeline = Pipeline((), cfg.preprocessing, input_size,
-                                      train=False)
+                                      train=False, staging_yuv=staging_yuv)
 
         # --- model ----------------------------------------------------------
         self.bundle = model_builder.build(
