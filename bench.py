@@ -109,9 +109,14 @@ def stage_jpeg_dataset(root):
     return csv_path
 
 
-def bench_end_to_end(bf16):
-    """A user's epoch: main.py's Experiment on a staged JPEG dataset."""
-    print('bench: end-to-end phase...', flush=True)
+def bench_end_to_end(bf16, staging_colorspace='rgb'):
+    """A user's epoch: main.py's Experiment on a staged JPEG dataset.
+
+    ``staging_colorspace='yuv420'`` measures the packed-YUV staging path
+    (1.5 B/px over the host->device link instead of 3 — the direct lever on
+    the transfer-bandwidth term that bounds e2e on this relay harness).
+    """
+    print(f'bench: end-to-end phase ({staging_colorspace})...', flush=True)
     from single_shot_detection_tpu.train.engine import Experiment
     from single_shot_detection_tpu.utils.config import load_config
 
@@ -125,6 +130,7 @@ def bench_end_to_end(bf16):
         }
         cfg.config.train['epochs'] = 1
         cfg.config.train['eval_every'] = 99
+        cfg.config.train['staging_colorspace'] = staging_colorspace
         cfg.config.num_workers = 4
 
         exp = Experiment(cfg, phases=['train'], debug=True, bf16=bf16)
@@ -156,6 +162,8 @@ def main():
     device_step_b128 = _retry(bench_device_step, dtype,
                               batch_size=BATCH_LARGE)
     e2e = _retry(bench_end_to_end, bf16=on_tpu)
+    e2e_yuv = _retry(bench_end_to_end, bf16=on_tpu,
+                     staging_colorspace='yuv420')
 
     # BASELINE.json's stated metric is images/sec/chip: the headline `value`
     # is the device train step at the flagship batch (128 — see module
@@ -182,6 +190,11 @@ def main():
         'end_to_end_img_s': round(e2e['median'], 2),
         'end_to_end_img_s_mean': round(e2e['mean'], 2),
         'end_to_end_img_s_best': round(e2e['best'], 2),
+        # packed-YUV420 staging (train.staging_colorspace): 1.5 B/px over
+        # the host->device link instead of 3 — direct relief on the
+        # transfer-bandwidth bound
+        'end_to_end_img_s_yuv420': round(e2e_yuv['median'], 2),
+        'end_to_end_img_s_yuv420_best': round(e2e_yuv['best'], 2),
         # like-for-like ratio: e2e pipeline vs the e2e GPU estimate
         'end_to_end_vs_baseline': round(e2e['median'] / REFERENCE_GPU_IMG_S,
                                         3),
