@@ -84,6 +84,50 @@ postprocess = {{
 
 target_assigner = {{'matched_threshold': 0.5, 'unmatched_threshold': 0.5}}
 """,
+    'm2det_mb2': """
+model = {{
+    'base': {{'name': 'mobilenet_v2_035'}},
+    'detector': {{
+        'num_classes': {num_classes},
+        'features': {{'name': 'MultilevelFeaturePyramid',
+                     'out_layers': (13, 18),
+                     'num_scales': 3,
+                     'num_tums': 2,
+                     'base_reduced_channels': [64, 64],
+                     'reduced_channels': 32,
+                     'tum': {{'inner_channels': 64, 'out_channels': 32}}}},
+    }},
+    'anchor_generator': {{
+        'type': 'ssd',
+        'num_scales': 3,
+        'min_scale': 0.15,
+        'max_scale': 0.95,
+        'aspect_ratios': [[1.0, 2.0]] * 3,
+    }},
+}}
+
+sampler = {{
+    'name': 'hard_negative_mining',
+    'negative_per_positive_ratio': 3,
+    'min_negative_per_image': 5,
+}}
+
+loss = {{
+    'classification_loss': {{'name': 'CrossEntropyLoss'}},
+    'localization_loss': {{'name': 'SmoothL1Loss'}},
+    'classification_weight': 1.0,
+    'localization_weight': 1.0,
+}}
+
+postprocess = {{
+    'score_threshold': 0.1,
+    'max_total': 50,
+    'nms': {{'max_per_class': 20, 'overlap_threshold': 0.45}},
+    'score_converter': 'SOFTMAX',
+}}
+
+target_assigner = {{'matched_threshold': 0.5, 'unmatched_threshold': 0.5}}
+""",
     'retina_mb1': """
 model = {{
     'base': {{'name': 'mobilenet_050'}},
@@ -467,6 +511,14 @@ def run_ours(workdir, cfg_path, cpu=False, matmul_precision=None):
 
 
 def main():
+    # the driver itself only stages data and scores dumps — force it onto
+    # CPU so a TPU-relay outage can't kill the (CPU-only) reference run;
+    # the 'ours' subprocess picks its own device (env JAX_PLATFORMS is
+    # pinned by sitecustomize, so the post-import config update is the
+    # reliable override)
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+
     ap = argparse.ArgumentParser()
     ap.add_argument('--workdir', default='/tmp/parity_run')
     ap.add_argument('--epochs', type=int, default=150)
@@ -499,7 +551,7 @@ def main():
     os.makedirs(args.workdir, exist_ok=True)
     csvs = stage_dataset(args.workdir)
     lr = args.lr if args.lr is not None else \
-        {'ssd_mb2': 2e-3, 'retina_mb1': 1e-3}[args.family]
+        {'ssd_mb2': 2e-3, 'retina_mb1': 1e-3, 'm2det_mb2': 2e-3}[args.family]
     cfgs = write_configs(args.workdir, csvs, args.epochs, args.seed,
                          args.milestones, family=args.family, lr=lr)
     print(f'staged dataset + configs under {args.workdir}', flush=True)
