@@ -170,3 +170,62 @@ def test_engine_train_eval_with_yuv_staging(tmp_path):
     rows = exp.train()
     assert np.isfinite(rows[-1]['train_loss'])
     assert 'eval_mAP' in rows[-1]
+
+
+def test_yuv_packed_batch_shards_on_mesh(rng):
+    """Packed [B, N] YUV staging batches shard over the data mesh and the
+    in-step reconstruction + pipeline + train step agree with the
+    single-device run (loss-level)."""
+    if jax.device_count() < 8:
+        pytest.skip('needs the 8-device CPU mesh')
+    from single_shot_detection_tpu.data.transforms import Pipeline
+    from single_shot_detection_tpu.models import builder
+    from single_shot_detection_tpu.ops import losses, matching, sampling
+    from single_shot_detection_tpu.ops.box_coder import BoxCoder
+    from single_shot_detection_tpu.parallel import (create_mesh, replicated,
+                                                    shard_batch)
+    from single_shot_detection_tpu.train import (create_train_state,
+                                                 make_train_step, optimizers)
+
+    IMG = 64
+    bundle = builder.build(
+        base={'name': 'mobilenet_v2', 'depth_multiplier': 0.35},
+        anchor_generator={'type': 'ssd', 'num_scales': 1, 'min_scale': 0.3,
+                          'max_scale': 0.9, 'aspect_ratios': [[1.0]]},
+        num_classes=3,
+        features={'name': 'Features', 'out_layers': (18,)},
+        input_size=(IMG, IMG))
+    anchors = bundle.anchors()
+    coder = BoxCoder(10.0, 5.0)
+    criterion = losses.MultiboxLoss(sampling.naive_sampler, coder,
+                                    {'name': 'CrossEntropyLoss'},
+                                    {'name': 'SmoothL1Loss'})
+    assigner = matching.TargetAssigner(0.5)
+    tx = optimizers.create_optimizer({'name': 'SGD', 'lr': 1e-2})
+    state = create_train_state(bundle.init(jax.random.PRNGKey(0), 8), tx)
+
+    pipeline = Pipeline((), [{'name': 'ToFloatTensor',
+                              'args': {'normalize': True}}],
+                        (IMG, IMG), train=True, staging_yuv=(IMG, IMG))
+    rgb = (rng.rand(8, IMG, IMG, 3) * 255).astype(np.uint8)
+    packed = np.stack([native.rgb_to_yuv420(im) for im in rgb])
+    batch_np = {
+        'image': packed,
+        'boxes': np.tile(np.array([10, 10, 40, 40, 1, 1, 0], np.float32),
+                         (8, 2, 1)),
+        'box_mask': np.ones((8, 2), bool),
+    }
+    step = make_train_step(bundle.module, criterion, assigner, anchors, tx,
+                           pipeline=pipeline, donate=False)
+
+    batch1 = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    _, metrics1 = step(state, batch1, jax.random.PRNGKey(1))
+
+    mesh = create_mesh()
+    state_sh = jax.device_put(state, replicated(mesh))
+    batch8 = shard_batch(mesh, batch_np)
+    assert batch8['image'].sharding.spec[0] == 'data'
+    assert batch8['image'].ndim == 2  # packed layout shards on batch only
+    _, metrics8 = step(state_sh, batch8, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(metrics8['loss']),
+                               float(metrics1['loss']), rtol=1e-4)
