@@ -27,6 +27,8 @@ labeled in the JSON (``baseline_basis``).
 
 import json
 import os
+import subprocess
+import sys
 import tempfile
 import time
 
@@ -153,7 +155,41 @@ def bench_end_to_end(bf16, staging_colorspace='rgb'):
     }
 
 
+def wait_for_backend(max_wait_s=None, probe_timeout_s=150):
+    """Wait (bounded) for the remote-TPU relay to come back before running.
+
+    The relay has multi-minute outages (docs/PERF.md); a bench run that
+    starts during one would die on backend init and record nothing.  JAX
+    caches a FAILED backend init for the life of the process, so the probe
+    runs in fresh subprocesses; this process only touches the backend after
+    a probe succeeds.  If the link never returns, fall through and let the
+    real init raise (an honest failure beats silently benching on CPU).
+
+    ``BENCH_BACKEND_WAIT_S`` overrides the wait window (0 = single probe).
+    """
+    if max_wait_s is None:
+        max_wait_s = float(os.environ.get('BENCH_BACKEND_WAIT_S', 1500))
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            probe = subprocess.run(
+                [sys.executable, '-c', 'import jax; jax.devices()'],
+                capture_output=True, timeout=probe_timeout_s,
+            )
+            if probe.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass  # a hung init counts as unavailable
+        if time.time() > deadline:
+            print('bench: backend still unavailable after '
+                  f'{max_wait_s} s; proceeding (init will raise)', flush=True)
+            return
+        print('bench: backend unavailable; retrying in 60 s', flush=True)
+        time.sleep(60)
+
+
 def main():
+    wait_for_backend()
     on_tpu = jax.devices()[0].platform != 'cpu'
     # bf16 compute on TPU (replaces the reference's apex AMP, env.py:87-95)
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
