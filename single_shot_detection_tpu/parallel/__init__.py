@@ -6,4 +6,5 @@ from single_shot_detection_tpu.parallel.mesh import (DATA_AXIS,  # noqa: F401
                                                      host_local_rows,
                                                      initialize_distributed,
                                                      make_global_batch,
-                                                     replicated, shard_batch)
+                                                     replicated, shard_batch,
+                                                     zero_state_sharding)

@@ -113,6 +113,59 @@ def all_gather_host(tree, process_count: int = 1):
     return jax.tree_util.tree_map(gather, tree)
 
 
+def zero_state_sharding(mesh: Mesh, state, min_size: Optional[int] = None):
+    """ZeRO-1-style placement tree for a TrainState (beyond-parity).
+
+    Params and batch statistics stay replicated (every device needs them
+    each forward pass anyway); the optimizer state and the EMA shadow —
+    which are only *read and written elementwise* once per step — are
+    sharded over the ``data`` axis, cutting their per-device HBM footprint
+    by ~n_data.  With Adam-family optimizers (2 moments) plus gradient
+    accumulation and EMA, that state is 3-4x the params — the dominant HBM
+    resident after activations.
+
+    Per leaf we shard the largest dimension divisible by the data-axis
+    size (conv kernels shard their channel axis, biases their only axis);
+    leaves smaller than ``min_size`` elements or with no divisible
+    dimension stay replicated — the wrong choice there costs more in
+    collective latency than it saves in HBM.
+
+    Returns a pytree of ``NamedSharding`` with the same structure as
+    ``state`` — feed it to ``jax.device_put`` and to the train step's
+    ``state_sharding`` pin (train/step.py) so GSPMD keeps the layout
+    stable across donated steps instead of re-deciding it per compile.
+    """
+    tree_map = jax.tree_util.tree_map
+    repl = NamedSharding(mesh, P())
+    n = mesh.shape[DATA_AXIS]
+    if n <= 1:
+        return tree_map(lambda _: repl, state)
+    if min_size is None:
+        min_size = 8 * n
+
+    def shard_leaf(x):
+        shape = tuple(np.shape(x))
+        if int(np.prod(shape or (1,))) < min_size:
+            return repl
+        best = None
+        for ax, d in enumerate(shape):
+            if d % n == 0 and d > 1 and (best is None or d > shape[best]):
+                best = ax
+        if best is None:
+            return repl
+        spec = [None] * len(shape)
+        spec[best] = DATA_AXIS
+        return NamedSharding(mesh, P(*spec))
+
+    return state.replace(
+        step=repl,
+        lr_scale=repl,
+        params=tree_map(lambda _: repl, state.params),
+        batch_stats=tree_map(lambda _: repl, state.batch_stats),
+        opt_state=tree_map(shard_leaf, state.opt_state),
+        ema_params=tree_map(shard_leaf, state.ema_params))
+
+
 def initialize_distributed(coordinator_address: Optional[str] = None,
                            num_processes: Optional[int] = None,
                            process_id: Optional[int] = None):

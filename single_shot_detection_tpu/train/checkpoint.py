@@ -43,10 +43,29 @@ def find_latest(checkpoint_path: str) -> Optional[str]:
     return None
 
 
+def _gather_addressable(state):
+    """Under multi-host ZeRO sharding (train.zero_sharding) some leaves are
+    not fully addressable — ``device_get`` would fail.  Replicate them via
+    a jitted identity (an all-gather on the state's own mesh) so every host
+    serializes the complete state.  No-op single-host or replicated."""
+    arrays = [x for x in jax.tree_util.tree_leaves(state)
+              if hasattr(x, 'is_fully_addressable')]
+    if all(x.is_fully_addressable for x in arrays):
+        return state
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def replicated_like(x):
+        return NamedSharding(x.sharding.mesh, PartitionSpec())
+
+    out_shardings = jax.tree_util.tree_map(replicated_like, state)
+    return jax.jit(lambda s: s, out_shardings=out_shardings)(state)
+
+
 def save(checkpoint_dir: str, state, epoch: int) -> str:
     """Write ckpt-{step}.msgpack + sidecar counters
     (parity: callbacks.py:68-73)."""
     os.makedirs(checkpoint_dir, exist_ok=True)
+    state = _gather_addressable(state)
     step = int(jax.device_get(state.step))
     path = os.path.join(checkpoint_dir, f'ckpt-{step}.msgpack')
     with open(path, 'wb') as f:

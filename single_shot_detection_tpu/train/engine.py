@@ -412,6 +412,23 @@ class Experiment:
             else:
                 logging.warning(f'WW no checkpoint found under {resume_from}')
 
+        # ZeRO-1 optimizer-state sharding (train.zero_sharding, beyond-
+        # parity): opt_state + EMA shadow sharded over the data axis,
+        # params/batch_stats replicated (parallel.zero_state_sharding).
+        # Re-pinning after every state mutation above (restore / imports)
+        # is one no-op device_put when the placement already matches.
+        self._state_sharding = self._replicated
+        if train_cfg.get('zero_sharding'):
+            self._state_sharding = parallel.zero_state_sharding(
+                self.mesh, self.state)
+            n_sharded = sum(
+                int(not s.is_fully_replicated)
+                for s in jax.tree_util.tree_leaves(self._state_sharding))
+            logging.info(f'II ZeRO-1 sharding: {n_sharded} optimizer/EMA '
+                         f'leaves sharded over {self.mesh.shape["data"]} '
+                         'data-axis devices')
+        self.state = jax.device_put(self.state, self._state_sharding)
+
         self.pruner = None
         self._capture_means = None
         self._needs_taylor = False
@@ -466,7 +483,10 @@ class Experiment:
             with_grads=self._needs_taylor,
             frozen_bn=self.frozen_bn,
             ema=self.ema_decay,
-            apply_fn=self.qat_apply, qat=self.qat_apply is not None)
+            apply_fn=self.qat_apply, qat=self.qat_apply is not None,
+            state_sharding=(self._state_sharding
+                            if self._state_sharding is not self._replicated
+                            else None))
         # k steps per dispatch via lax.scan — amortizes dispatch/readback
         # round trips (dominant on remote-TPU transports; see docs/PERF.md)
         self.fused_steps = int(train_cfg.get('fused_steps', 1))
@@ -482,7 +502,10 @@ class Experiment:
                 self.anchors, self.tx, k=self.fused_steps,
                 mixup=train_cfg.get('mixup'), pipeline=self.train_pipeline,
                 frozen_bn=self.frozen_bn, ema=self.ema_decay,
-                apply_fn=self.qat_apply, qat=self.qat_apply is not None)
+                apply_fn=self.qat_apply, qat=self.qat_apply is not None,
+                state_sharding=(self._state_sharding
+                                if self._state_sharding is not self._replicated
+                                else None))
         # under QAT, eval/predict run the fake-quant forward too (read-only
         # scales) so reported mAP reflects the quantized serving behavior
         self.eval_step = make_eval_step(

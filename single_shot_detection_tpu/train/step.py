@@ -64,7 +64,8 @@ def make_train_step(module,
                     frozen_bn: bool = False,
                     ema: Optional[float] = None,
                     apply_fn: Optional[Callable] = None,
-                    qat: bool = False) -> Callable:
+                    qat: bool = False,
+                    state_sharding=None) -> Callable:
     """Build the jitted train step (parity: init.py:101-135 ``step_fn`` +
     callbacks optimizer/loss/mixup).
 
@@ -92,10 +93,17 @@ def make_train_step(module,
     ``apply_fn`` overrides ``module.apply`` for the forward pass (same
     signature/mutable contract) — e.g. the QAT fake-quant forward
     (export/quantize.qat_apply, engine ``train.qat``).
+
+    ``state_sharding`` (beyond-parity, ``train.zero_sharding``): a pytree
+    of shardings matching the state (parallel.zero_state_sharding); the
+    output state is pinned to it so GSPMD keeps the ZeRO layout stable
+    across donated steps instead of re-deciding it (a drifting layout
+    breaks buffer donation AND triggers a recompile on the next call).
     """
     train_step = _train_step_body(module, criterion, assigner, anchors, tx,
                                   mixup, pipeline, with_grads, frozen_bn,
                                   ema, apply_fn, qat)
+    train_step = _pin_state(train_step, state_sharding)
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
@@ -107,7 +115,8 @@ def make_fused_train_step(module, criterion, assigner, anchors, tx,
                           frozen_bn: bool = False,
                           ema: Optional[float] = None,
                           apply_fn: Optional[Callable] = None,
-                          qat: bool = False) -> Callable:
+                          qat: bool = False,
+                          state_sharding=None) -> Callable:
     """``k`` train steps per XLA dispatch via ``lax.scan``.
 
     Dispatch/readback round trips dominate small-model steps on remote
@@ -119,6 +128,9 @@ def make_fused_train_step(module, criterion, assigner, anchors, tx,
                             mixup, pipeline, with_grads=False,
                             frozen_bn=frozen_bn, ema=ema, apply_fn=apply_fn,
                             qat=qat)
+    # pin the scan carry, not just the final state: the ZeRO layout must
+    # hold on every iteration or GSPMD reshards inside the loop
+    body = _pin_state(body, state_sharding)
 
     def fused(state, batches, rng):
         keys = jax.random.split(rng, k)
@@ -132,6 +144,22 @@ def make_fused_train_step(module, criterion, assigner, anchors, tx,
         return state, sums
 
     return jax.jit(fused, donate_argnums=(0,) if donate else ())
+
+
+def _pin_state(step_fn, state_sharding):
+    """Constrain the state a step returns to ``state_sharding`` (identity
+    when None).  Works for both (state, metrics) and (state, (metrics,
+    grads)) return shapes — only the first element is pinned."""
+    if state_sharding is None:
+        return step_fn
+
+    def pinned(state, *args):
+        out_state, aux = step_fn(state, *args)
+        out_state = jax.lax.with_sharding_constraint(out_state,
+                                                     state_sharding)
+        return out_state, aux
+
+    return pinned
 
 
 def _train_step_body(module, criterion, assigner, anchors, tx,
