@@ -7,4 +7,5 @@ from single_shot_detection_tpu.parallel.mesh import (DATA_AXIS,  # noqa: F401
                                                      initialize_distributed,
                                                      make_global_batch,
                                                      replicated, shard_batch,
+                                                     tensor_state_sharding,
                                                      zero_state_sharding)

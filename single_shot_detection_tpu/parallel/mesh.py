@@ -166,6 +166,79 @@ def zero_state_sharding(mesh: Mesh, state, min_size: Optional[int] = None):
         ema_params=tree_map(shard_leaf, state.ema_params))
 
 
+def tensor_state_sharding(mesh: Mesh, state, zero: bool = False):
+    """Megatron-style tensor (channel) parallelism over the ``model`` axis
+    (beyond-parity — the reference has no TP story, SURVEY.md §2.8).
+
+    Shards the LAST axis of every per-channel leaf over ``model``: conv
+    kernels ``[kh, kw, cin, cout]`` split their output channels, biases /
+    BN scale+bias / running statistics ``[C]`` split C, and the optimizer
+    moments + EMA shadow follow their parameters.  Leaves whose last axis
+    doesn't divide the model-axis size (e.g. the detection heads, whose
+    cout = num_anchors x classes) stay replicated — GSPMD inserts the
+    all-gather exactly where full channels are first needed.
+
+    Under GSPMD this is all that tensor parallelism *is* on TPU: annotate
+    the parameter layout, let the partitioner propagate channel-sharded
+    activations through conv/BN/relu (each model shard computes only its
+    cout slice of every conv, holds 1/n of the params+opt state) and place
+    collectives where consumers disagree.  There are no hand-written
+    all-reduces to maintain — the idiomatic inverse of Megatron's explicit
+    ColumnParallel/RowParallel modules.
+
+    ``zero=True`` composes ZeRO-1 on top (the combined
+    ``train.tensor_sharding`` + ``train.zero_sharding`` engine layout):
+    optimizer-state and EMA leaves additionally shard their largest
+    *remaining* axis over ``data``, as in :func:`zero_state_sharding`.
+
+    Returns a pytree of ``NamedSharding`` matching ``state`` — feed it to
+    ``jax.device_put`` and the train step's ``state_sharding`` pin.
+    """
+    tree_map = jax.tree_util.tree_map
+    repl = NamedSharding(mesh, P())
+    n_model = mesh.shape[MODEL_AXIS]
+    n_data = mesh.shape[DATA_AXIS]
+    zero_min = 8 * n_data
+
+    def model_spec(x) -> list:
+        shape = tuple(np.shape(x))
+        spec = [None] * len(shape)
+        if (n_model > 1 and shape and shape[-1] > 1
+                and shape[-1] % n_model == 0):
+            spec[-1] = MODEL_AXIS
+        return spec
+
+    def param_leaf(x):
+        spec = model_spec(x)
+        if not any(spec):
+            return repl
+        return NamedSharding(mesh, P(*spec))
+
+    def opt_leaf(x):
+        spec = model_spec(x)
+        shape = tuple(np.shape(x))
+        if (zero and n_data > 1
+                and int(np.prod(shape or (1,))) >= zero_min):
+            best = None
+            for ax, d in enumerate(shape):
+                if spec[ax] is None and d % n_data == 0 and d > 1 and (
+                        best is None or d > shape[best]):
+                    best = ax
+            if best is not None:
+                spec[best] = DATA_AXIS
+        if not any(spec):
+            return repl
+        return NamedSharding(mesh, P(*spec))
+
+    return state.replace(
+        step=repl,
+        lr_scale=repl,
+        params=tree_map(param_leaf, state.params),
+        batch_stats=tree_map(param_leaf, state.batch_stats),
+        opt_state=tree_map(opt_leaf, state.opt_state),
+        ema_params=tree_map(opt_leaf, state.ema_params))
+
+
 def initialize_distributed(coordinator_address: Optional[str] = None,
                            num_processes: Optional[int] = None,
                            process_id: Optional[int] = None):

@@ -278,6 +278,16 @@ class Experiment:
         from single_shot_detection_tpu import parallel
         self.process_count = process_count
         batch_size = cfg.batch_size or 32
+        # tensor parallelism (train.tensor_sharding, beyond-parity): size of
+        # the mesh's model axis; conv output channels + BN params shard over
+        # it (parallel.tensor_state_sharding) and GSPMD propagates
+        # channel-sharded activations, so each model shard holds 1/n of the
+        # params and computes 1/n of every conv
+        self.tensor_sharding = int(train_cfg.get('tensor_sharding') or 1)
+        if self.tensor_sharding > 1 and process_count > 1:
+            raise ValueError(
+                'train.tensor_sharding is single-process only: the model '
+                'axis must ride ICI within one host, not DCN across hosts')
         if devices is not None:  # explicit pool (single-process / tests)
             pool = list(devices)
             n_local = len(pool)
@@ -299,11 +309,24 @@ class Experiment:
                     f'WW batch_size {batch_size} not divisible by '
                     f'{jax.local_device_count()} devices; using {n_local}')
             pool = jax.local_devices()[:n_local]
+        n_model = 1
+        if self.tensor_sharding > 1:
+            n_model = self.tensor_sharding
+            avail = list(devices) if devices is not None \
+                else jax.local_devices()
+            if len(avail) < n_model:
+                raise ValueError(
+                    f'train.tensor_sharding={n_model} needs at least '
+                    f'{n_model} devices, have {len(avail)}')
+            n_local = len(avail) // n_model
+            while n_local > 1 and batch_size % n_local:
+                n_local -= 1
+            pool = avail[:n_local * n_model]
         self.mesh = parallel.create_mesh(
-            n_data=n_local * process_count, n_model=1, devices=pool)
+            n_data=n_local * process_count, n_model=n_model, devices=pool)
         self._replicated = parallel.replicated(self.mesh)
-        logging.info(f'II data-parallel mesh: {n_local * process_count} '
-                     f'device(s) x {process_count} process(es)')
+        logging.info(f'II mesh: {n_local * process_count} data x {n_model} '
+                     f'model device(s), {process_count} process(es)')
 
         # --- state -----------------------------------------------------------
         # Initialize on host CPU when available: init runs dozens of tiny
@@ -418,7 +441,21 @@ class Experiment:
         # Re-pinning after every state mutation above (restore / imports)
         # is one no-op device_put when the placement already matches.
         self._state_sharding = self._replicated
-        if train_cfg.get('zero_sharding'):
+        if self.tensor_sharding > 1:
+            # tensor (channel) parallelism over the model axis, optionally
+            # composed with ZeRO-1 over the data axis
+            self._state_sharding = parallel.tensor_state_sharding(
+                self.mesh, self.state,
+                zero=bool(train_cfg.get('zero_sharding')))
+            n_sharded = sum(
+                int(not s.is_fully_replicated)
+                for s in jax.tree_util.tree_leaves(self._state_sharding))
+            logging.info(f'II tensor sharding: {n_sharded} leaves sharded '
+                         f'over {self.mesh.shape["model"]} model-axis '
+                         'devices'
+                         + (' (+ZeRO-1 over data)'
+                            if train_cfg.get('zero_sharding') else ''))
+        elif train_cfg.get('zero_sharding'):
             self._state_sharding = parallel.zero_state_sharding(
                 self.mesh, self.state)
             n_sharded = sum(

@@ -286,6 +286,34 @@ def test_engine_data_parallel_matches_single_device():
     assert eval_results[0][1] == eval_results[1][1]  # mAP is discrete-ranked
 
 
+def test_engine_tensor_sharding_matches_single_device():
+    """train.tensor_sharding through the PRODUCT path: a (4, 2) mesh with
+    conv channels sharded over 'model' reproduces the single-device train +
+    eval results (same one-step rationale as the data-parallel test)."""
+    train_losses, eval_results = [], []
+    for tp in (0, 2):
+        cfg = load_config(SMOKE)
+        cfg.config.train['epochs'] = 1
+        cfg.config.train['eval_every'] = 1
+        cfg.config.train['num_batches_per_epoch'] = 1
+        if tp:
+            cfg.config.train['tensor_sharding'] = tp
+        exp = Experiment(cfg, phases=['train', 'eval'], debug=True,
+                         devices=None if tp else [jax.devices()[0]])
+        assert exp.mesh.shape['model'] == (tp or 1)
+        if tp:
+            import jax.tree_util as jtu
+            assert any(not s.is_fully_replicated for s in
+                       jtu.tree_leaves(exp._state_sharding.params))
+        rows = exp.train()
+        train_losses.append(rows[-1]['train_loss'])
+        eval_results.append((rows[-1]['eval_loss'], rows[-1]['eval_mAP']))
+    np.testing.assert_allclose(train_losses[0], train_losses[1], rtol=2e-4)
+    np.testing.assert_allclose(eval_results[0][0], eval_results[1][0],
+                               rtol=2e-4)
+    assert eval_results[0][1] == eval_results[1][1]
+
+
 def test_train_loss_is_true_epoch_mean():
     """log.csv train_loss must be the exact mean over every step, not a
     subsampled sum with a mismatched denominator."""

@@ -424,6 +424,122 @@ def test_zero_sharding_train_step(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def _tiny_bundle():
+    return builder.build(
+        base={'name': 'mobilenet_v2', 'depth_multiplier': 0.35},
+        anchor_generator={'type': 'ssd', 'num_scales': 1, 'min_scale': 0.3,
+                          'max_scale': 0.9, 'aspect_ratios': [[1.0]]},
+        num_classes=NUM_CLASSES,
+        features={'name': 'Features', 'out_layers': (18,)},
+        input_size=(IMG, IMG))
+
+
+def test_tensor_parallel_train_step_agrees(rng):
+    """Tensor (channel) parallelism (parallel.tensor_state_sharding +
+    train.tensor_sharding): conv cout / BN params sharded over the model
+    axis on a (2, 4) mesh — the donated step keeps the layout and agrees
+    with the single-device run."""
+    from single_shot_detection_tpu.parallel import tensor_state_sharding
+
+    bundle = _tiny_bundle()
+    anchors = bundle.anchors()
+    coder = BoxCoder(10.0, 5.0)
+    criterion = losses.MultiboxLoss(sampling.naive_sampler, coder,
+                                    {'name': 'CrossEntropyLoss'},
+                                    {'name': 'SmoothL1Loss'})
+    assigner = matching.TargetAssigner(0.5)
+    tx = optimizers.create_optimizer({'name': 'Adam', 'lr': 1e-3})
+    state = create_train_state(bundle.init(jax.random.PRNGKey(0),
+                                           batch_size=8), tx)
+    batch_np = {
+        'image': rng.rand(8, IMG, IMG, 3).astype(np.float32),
+        'boxes': np.tile(np.array([10, 10, 40, 40, 1, 1], np.float32),
+                         (8, 2, 1)),
+        'box_mask': np.ones((8, 2), bool),
+    }
+
+    step = make_train_step(bundle.module, criterion, assigner, anchors, tx,
+                           donate=False)
+    batch1 = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    state1, metrics1 = step(state, batch1, jax.random.PRNGKey(1))
+
+    mesh = create_mesh(n_data=2, n_model=4)
+    tp = tensor_state_sharding(mesh, state)
+    # placement contract: channel-divisible param/stat leaves shard their
+    # LAST axis over 'model'; scalars and non-divisible heads replicate
+    tp_params = jax.tree_util.tree_leaves(tp.params)
+    assert any(not s.is_fully_replicated for s in tp_params)
+    for leaf, s in zip(jax.tree_util.tree_leaves(state.params), tp_params):
+        if not s.is_fully_replicated:
+            assert s.spec[np.ndim(leaf) - 1] == 'model'
+            assert np.shape(leaf)[-1] % 4 == 0
+    assert any(not s.is_fully_replicated
+               for s in jax.tree_util.tree_leaves(tp.batch_stats))
+
+    tstep = make_train_step(bundle.module, criterion, assigner, anchors, tx,
+                            donate=True, state_sharding=tp)
+    state_tp = jax.device_put(state, tp)
+    batch8 = shard_batch(mesh, batch_np)
+    state_tp, metrics_tp = tstep(state_tp, batch8, jax.random.PRNGKey(1))
+    params_tp = jax.device_get(state_tp.params)
+    stats_tp = jax.device_get(state_tp.batch_stats)
+
+    # layout stability under donation (no GSPMD re-decision on step 2)
+    for out, want in zip(jax.tree_util.tree_leaves(state_tp.params),
+                         tp_params):
+        assert out.sharding.is_equivalent_to(want, out.ndim)
+    state_tp2, _ = tstep(state_tp, batch8, jax.random.PRNGKey(2))
+    for out, want in zip(jax.tree_util.tree_leaves(state_tp2.params),
+                         tp_params):
+        assert out.sharding.is_equivalent_to(want, out.ndim)
+
+    np.testing.assert_allclose(float(metrics_tp['loss']),
+                               float(metrics1['loss']), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(state1.batch_stats),
+                    jax.tree_util.tree_leaves(stats_tp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    # params: same loose tolerance rationale as the data-parallel test
+    for a, b in zip(jax.tree_util.tree_leaves(state1.params),
+                    jax.tree_util.tree_leaves(params_tp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-2)
+
+
+def test_tensor_parallel_zero_composition(rng):
+    """tensor_state_sharding(zero=True): params shard 'model' on the last
+    axis; optimizer moments additionally shard a remaining axis over
+    'data' — the combined train.tensor_sharding + train.zero_sharding
+    layout."""
+    from single_shot_detection_tpu.parallel import tensor_state_sharding
+
+    bundle = _tiny_bundle()
+    tx = optimizers.create_optimizer({'name': 'Adam', 'lr': 1e-3})
+    state = create_train_state(bundle.init(jax.random.PRNGKey(0)), tx,
+                               ema=True)
+    mesh = create_mesh(n_data=2, n_model=4)
+    tp = tensor_state_sharding(mesh, state, zero=True)
+
+    for s in jax.tree_util.tree_leaves((tp.step, tp.lr_scale)):
+        assert s.is_fully_replicated
+    # at least one moment leaf carries BOTH axes
+    both = 0
+    for leaf, s in zip(jax.tree_util.tree_leaves(state.opt_state),
+                       jax.tree_util.tree_leaves(tp.opt_state)):
+        if s.is_fully_replicated:
+            continue
+        spec = tuple(s.spec) + (None,) * (np.ndim(leaf) - len(s.spec))
+        if 'model' in spec:
+            assert spec[np.ndim(leaf) - 1] == 'model'
+            assert np.shape(leaf)[-1] % 4 == 0
+        if 'data' in spec:
+            ax = spec.index('data')
+            assert np.shape(leaf)[ax] % 2 == 0
+            assert ax != np.ndim(leaf) - 1 or spec[ax] != 'model'
+        both += int('model' in spec and 'data' in spec)
+    assert both > 0, 'no moment leaf sharded over both axes'
+    assert any(not s.is_fully_replicated
+               for s in jax.tree_util.tree_leaves(tp.ema_params))
+
+
 def test_zero_sharding_checkpoint_roundtrip(tmp_path, rng):
     """A ZeRO-sharded state saves (gather) and restores into a fresh
     template bit-exactly."""
