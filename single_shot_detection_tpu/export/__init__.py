@@ -85,6 +85,16 @@ def _make_inference_fn_for(experiment, module, with_postprocess,
     coder = experiment.box_coder
     postprocessor = experiment.postprocessor
     apply_fn = module.apply
+    gn_groups = getattr(experiment, 'gn_groups', None)
+    if gn_groups:
+        # GroupNorm-trained run (train.group_norm): the artifact must bake
+        # the GN forward — plain module.apply would normalize with the
+        # untouched BN running stats (models/norm.py)
+        if int8:
+            raise ValueError('int8 export does not compose with '
+                             'train.group_norm (same trace-time override)')
+        from single_shot_detection_tpu.models import norm as _norm
+        apply_fn = _norm.group_norm_apply(module, gn_groups)
     if int8:
         from single_shot_detection_tpu.export import quantize
         opts = dict(experiment.cfg.int8 or {})

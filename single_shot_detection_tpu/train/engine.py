@@ -363,6 +363,37 @@ class Experiment:
                 decay=float(opts.get('decay', _quant.QAT_DECAY)),
                 spatial_limit=opts.get('spatial_limit'))
 
+        # GroupNorm override (train.group_norm, beyond-parity): every
+        # BatchNorm in the zoo runs as GroupNorm over the same affine
+        # params (models/norm.py) — batch-size-independent statistics and
+        # zero cross-device stat communication; accepts True (8 groups),
+        # an int, or {'groups': g}.  The variable tree stays BN's, so
+        # checkpoints/imports/pruning are unaffected.
+        gn_cfg = train_cfg.get('group_norm')
+        self.gn_groups = None
+        self.gn_apply = None
+        if gn_cfg:
+            from single_shot_detection_tpu.models import norm as _norm
+            if isinstance(gn_cfg, dict):
+                self.gn_groups = int(gn_cfg.get('groups',
+                                                _norm.DEFAULT_GROUPS))
+            elif isinstance(gn_cfg, bool):
+                self.gn_groups = _norm.DEFAULT_GROUPS
+            else:
+                self.gn_groups = int(gn_cfg)
+            if self.qat_apply is not None or int8:
+                raise ValueError(
+                    'train.group_norm does not compose with qat/int8 '
+                    '(both override the same trace-time forward); pick one')
+            if train_cfg.get('frozen_bn'):
+                raise ValueError(
+                    'train.group_norm replaces BatchNorm entirely — '
+                    'frozen_bn is meaningless with it')
+            self.gn_apply = _norm.group_norm_apply(self.bundle.module,
+                                                   self.gn_groups)
+        # the one trace-time forward override steps/export should use
+        self.apply_override = self.qat_apply or self.gn_apply
+
         def _init_variables():
             if self.qat_apply is not None:
                 from single_shot_detection_tpu.export import quantize as _q
@@ -495,9 +526,12 @@ class Experiment:
                                             pruning.TaylorExpansion)
             if self.pruner.criterion.needs_activations:
                 module = self.bundle.module
+                # under a trace-time forward override (group_norm/QAT) the
+                # observed activations must come from the overridden forward
+                capture_apply = self.apply_override or module.apply
 
                 def capture_means(state, images):
-                    _, tree = module.apply(
+                    _, tree = capture_apply(
                         {'params': state.params,
                          'batch_stats': state.batch_stats},
                         images, train=False, capture_intermediates=True,
@@ -520,7 +554,7 @@ class Experiment:
             with_grads=self._needs_taylor,
             frozen_bn=self.frozen_bn,
             ema=self.ema_decay,
-            apply_fn=self.qat_apply, qat=self.qat_apply is not None,
+            apply_fn=self.apply_override, qat=self.qat_apply is not None,
             state_sharding=(self._state_sharding
                             if self._state_sharding is not self._replicated
                             else None))
@@ -539,7 +573,7 @@ class Experiment:
                 self.anchors, self.tx, k=self.fused_steps,
                 mixup=train_cfg.get('mixup'), pipeline=self.train_pipeline,
                 frozen_bn=self.frozen_bn, ema=self.ema_decay,
-                apply_fn=self.qat_apply, qat=self.qat_apply is not None,
+                apply_fn=self.apply_override, qat=self.qat_apply is not None,
                 state_sharding=(self._state_sharding
                                 if self._state_sharding is not self._replicated
                                 else None))
@@ -547,10 +581,10 @@ class Experiment:
         # scales) so reported mAP reflects the quantized serving behavior
         self.eval_step = make_eval_step(
             self.bundle.module, self.criterion, self.assigner, self.anchors,
-            self.postprocessor, apply_fn=self.qat_apply)
+            self.postprocessor, apply_fn=self.apply_override)
         self.predict_step = make_predict_step(
             self.bundle.module, self.postprocessor, self.anchors,
-            apply_fn=self.qat_apply)
+            apply_fn=self.apply_override)
         # int8 PTQ serving (export/quantize.py, the OpenVINO-deployment
         # analog): calibration is lazy — it needs real eval batches — and
         # swaps eval/predict to the quantized forward on first use
