@@ -96,7 +96,8 @@ def build_from_config(path, dtype):
 
 
 def bench_config(name, batch, dtype, steps, frozen_bn=False, int8=False,
-                 pre_nms_top_k=None, approx_top_k=False, recall_target=0.95):
+                 group_norm=False, pre_nms_top_k=None, approx_top_k=False,
+                 recall_target=0.95):
     from single_shot_detection_tpu.train import (create_train_state,
                                                  make_train_step)
     from single_shot_detection_tpu.train.step import make_predict_step
@@ -112,8 +113,13 @@ def bench_config(name, batch, dtype, steps, frozen_bn=False, int8=False,
     state = create_train_state(bundle.init(jax.random.PRNGKey(0)), tx)
     n_params = sum(np.prod(x.shape) for x in
                    jax.tree_util.tree_leaves(state.params))
+    apply_fn = None
+    if group_norm:
+        from single_shot_detection_tpu.models.norm import group_norm_apply
+        apply_fn = group_norm_apply(bundle.module)
     step = make_train_step(bundle.module, criterion, assigner, anchors, tx,
-                           donate=True, frozen_bn=frozen_bn)
+                           donate=True, frozen_bn=frozen_bn,
+                           apply_fn=apply_fn)
     batch_data = synth_batch(batch, input_size, bundle.num_classes)
 
     key = jax.random.PRNGKey(1)
@@ -144,7 +150,8 @@ def bench_config(name, batch, dtype, steps, frozen_bn=False, int8=False,
         predict = quantize.make_quantized_predict_step(
             bundle.module, postprocessor, anchors, amax)
     else:
-        predict = make_predict_step(bundle.module, postprocessor, anchors)
+        predict = make_predict_step(bundle.module, postprocessor, anchors,
+                                    apply_fn=apply_fn)
     out = predict(variables, batch_data['image'])
     jax.block_until_ready(out)
     elapsed = None
@@ -169,6 +176,8 @@ def bench_config(name, batch, dtype, steps, frozen_bn=False, int8=False,
     }
     if frozen_bn:
         row['frozen_bn'] = True
+    if group_norm:
+        row['group_norm'] = True
     if int8:
         row['int8_infer'] = True
     if pre_nms_top_k is not None:
@@ -187,6 +196,9 @@ def main():
                     help='comma-separated subset of config file names')
     ap.add_argument('--no-aligned', action='store_true',
                     help='skip the extra tile-aligned-batch rows (ALIGNED)')
+    ap.add_argument('--group-norm', action='store_true',
+                    help='run every BatchNorm as GroupNorm '
+                         '(train.group_norm; models/norm.py)')
     ap.add_argument('--frozen-bn', action='store_true',
                     help='measure the frozen-BN fine-tune step (running-stat '
                          'normalization, no batch-stat reductions; '
@@ -215,10 +227,12 @@ def main():
                      approx_top_k=args.approx_top_k,
                      recall_target=args.recall_target)
         rows.append(_retry(bench_config, name, batch, dtype, args.steps,
-                           frozen_bn=args.frozen_bn, int8=args.int8, **pp_kw))
+                           frozen_bn=args.frozen_bn, int8=args.int8,
+                           group_norm=args.group_norm, **pp_kw))
         if name in ALIGNED and not args.no_aligned and args.batch is None:
             rows.append(_retry(bench_config, name, ALIGNED[name], dtype,
                                args.steps, frozen_bn=args.frozen_bn,
+                               group_norm=args.group_norm,
                                int8=args.int8, **pp_kw))
 
     print('\nconfig                      batch  train img/s   ms/step  infer img/s')
