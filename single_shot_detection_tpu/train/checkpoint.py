@@ -76,6 +76,60 @@ def save(checkpoint_dir: str, state, epoch: int) -> str:
     return path
 
 
+class AsyncSaver:
+    """Non-blocking checkpoint writer (``train.async_checkpoint``,
+    beyond-parity — the reference's torch.save blocks the epoch loop,
+    callbacks.py:68-73).
+
+    ``save`` snapshots the state with an on-device copy (cheap HBM-to-HBM,
+    dispatched asynchronously) and hands the device->host transfer +
+    msgpack serialization + disk write to a background thread, so the
+    train loop keeps dispatching steps while the checkpoint drains.  The
+    device copy is what makes this safe under buffer donation: the next
+    train step donates the LIVE state's buffers, never the snapshot's.
+
+    One save in flight at a time (a second ``save`` first joins the
+    previous — bounds the transient 2x-state HBM footprint); ``wait()``
+    joins and re-raises any background failure.  Call ``wait()`` before
+    process exit and before any emergency synchronous save.
+    """
+
+    def __init__(self):
+        self._thread = None
+        self._error = None
+
+    def save(self, checkpoint_dir: str, state, epoch: int) -> None:
+        import threading
+
+        import jax.numpy as jnp
+
+        self.wait()
+
+        def copy_leaf(x):
+            return jnp.copy(x) if hasattr(x, 'dtype') else x
+
+        snapshot = jax.tree_util.tree_map(copy_leaf, state)
+
+        def run():
+            try:
+                save(checkpoint_dir, snapshot, epoch)
+            except BaseException as exc:  # surfaced on the next wait()
+                self._error = exc
+
+        self._thread = threading.Thread(target=run, daemon=True,
+                                        name='ckpt-async-save')
+        self._thread.start()
+
+    def wait(self) -> None:
+        """Join the in-flight save (if any); re-raise its failure."""
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            error, self._error = self._error, None
+            raise error
+
+
 # ---------------------------------------------------------------- migration
 # Key-migration rules (parity: detection/utils/model_fixer/rules.py:10-20 —
 # the reference rewrites stale checkpoint keys like the 'predictor.' prefix

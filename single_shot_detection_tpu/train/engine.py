@@ -238,6 +238,19 @@ class Experiment:
                                             train_cfg.get('eval_every', 1)))
         self.accumulation_steps = int(train_cfg.get('accumulation_steps', 1))
         self.num_batches_per_epoch = train_cfg.get('num_batches_per_epoch')
+        # async checkpointing (train.async_checkpoint, beyond-parity):
+        # scheduled saves snapshot on-device and drain to disk in a
+        # background thread (checkpoint.AsyncSaver) — the epoch loop keeps
+        # dispatching.  Single-process only: multi-host gathers
+        # non-addressable shards inside save(), which must run on the main
+        # thread's collective schedule.
+        self._async_saver = None
+        if train_cfg.get('async_checkpoint'):
+            if process_count > 1:
+                logging.warning('WW train.async_checkpoint is single-process '
+                                'only; falling back to synchronous saves')
+            else:
+                self._async_saver = ckpt.AsyncSaver()
 
         steps_per_epoch = 1
         if 'train' in self.loaders:
@@ -626,6 +639,7 @@ class Experiment:
             return self._train_epochs()
         except KeyboardInterrupt:
             if self.checkpoint_dir and not self.debug and self.process_index == 0:
+                self._drain_async_saves(swallow=True)
                 path = ckpt.save(self.checkpoint_dir, self.state,
                                  getattr(self, '_current_epoch', 0))
                 logging.warning(f'WW interrupted — emergency checkpoint '
@@ -690,6 +704,7 @@ class Experiment:
                 if (self.checkpoint_dir and not self.debug
                         and self.process_index == 0):
                     try:
+                        self._drain_async_saves(swallow=True)
                         ckpt.save(self.checkpoint_dir, self.state, epoch)
                     except Exception as save_exc:
                         logging.warning('WW emergency checkpoint failed '
@@ -727,9 +742,29 @@ class Experiment:
             if (self.checkpoint_dir and not self.debug
                     and (epoch + 1) % self.save_every == 0
                     and self.process_index == 0):
-                ckpt.save(self.checkpoint_dir, self.state, epoch)
+                if self._async_saver is not None:
+                    self._async_saver.save(self.checkpoint_dir, self.state,
+                                           epoch)
+                else:
+                    ckpt.save(self.checkpoint_dir, self.state, epoch)
 
+        # the last checkpoint must be durable (and any background failure
+        # surfaced) before train() returns
+        self._drain_async_saves(swallow=False)
         return epoch_rows
+
+    def _drain_async_saves(self, swallow: bool) -> None:
+        """Join any in-flight async checkpoint write.  ``swallow=True``
+        logs instead of raising — for emergency paths where a failed
+        BACKGROUND save must not stop the synchronous rescue save."""
+        if self._async_saver is None:
+            return
+        try:
+            self._async_saver.wait()
+        except BaseException as exc:
+            if not swallow:
+                raise
+            logging.warning(f'WW async checkpoint write failed: {exc}')
 
     def _epoch_batches(self, loader, num_batches, epoch):
         """One epoch's batch loop; returns (train-metrics row, step count)."""

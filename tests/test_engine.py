@@ -314,6 +314,62 @@ def test_engine_tensor_sharding_matches_single_device():
     assert eval_results[0][1] == eval_results[1][1]
 
 
+def test_engine_async_checkpoint(tmp_path):
+    """train.async_checkpoint: scheduled saves drain in a background
+    thread off an on-device snapshot; train() returns only after the last
+    write is durable, and the checkpoint restores bit-equal to the final
+    state (the snapshot copy protects against the next step's donation)."""
+    from single_shot_detection_tpu.train import checkpoint as ckpt_mod
+
+    cfg = load_config(SMOKE)
+    cfg.config.train['epochs'] = 2
+    cfg.config.train['eval_every'] = 99
+    cfg.config.train['save_every'] = 1
+    cfg.config.train['async_checkpoint'] = True
+    exp = Experiment(cfg, phases=['train'], debug=False,
+                     checkpoint_dir=str(tmp_path),
+                     devices=[jax.devices()[0]])
+    assert exp._async_saver is not None
+    exp.train()
+
+    names = [n for n in os.listdir(str(tmp_path)) if n.endswith('.msgpack')]
+    assert len(names) == 2  # one per epoch
+    path = ckpt_mod.find_latest(str(tmp_path))
+    restored, meta = ckpt_mod.restore(path, exp.state)
+    assert meta['epoch'] == 1
+    for a, b in zip(jax.tree_util.tree_leaves(exp.state),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_async_saver_surfaces_background_failure(tmp_path):
+    from single_shot_detection_tpu.train import checkpoint as ckpt_mod
+    from single_shot_detection_tpu.train.state import create_train_state
+    from single_shot_detection_tpu.train import optimizers
+    from single_shot_detection_tpu.models import builder
+
+    bundle = builder.build(
+        base={'name': 'mobilenet_v2', 'depth_multiplier': 0.35},
+        anchor_generator={'type': 'ssd', 'num_scales': 1, 'min_scale': 0.3,
+                          'max_scale': 0.9, 'aspect_ratios': [[1.0]]},
+        num_classes=3,
+        features={'name': 'Features', 'out_layers': (18,)},
+        input_size=(64, 64))
+    tx = optimizers.create_optimizer({'name': 'SGD', 'lr': 1e-2})
+    state = create_train_state(bundle.init(jax.random.PRNGKey(0)), tx)
+
+    blocker = tmp_path / 'not_a_dir'
+    blocker.write_text('x')  # makedirs inside save() will fail on this
+    saver = ckpt_mod.AsyncSaver()
+    saver.save(str(blocker), state, epoch=0)
+    with pytest.raises(Exception):
+        saver.wait()
+    # the error is consumed: the saver is reusable afterwards
+    saver.save(str(tmp_path / 'ok'), state, epoch=0)
+    saver.wait()
+    assert ckpt_mod.find_latest(str(tmp_path / 'ok'))
+
+
 def test_train_loss_is_true_epoch_mean():
     """log.csv train_loss must be the exact mean over every step, not a
     subsampled sum with a mismatched denominator."""
