@@ -48,23 +48,32 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def _data_spec(x, axis: int) -> P:
+def _data_spec(x, axis: int, spatial: bool = False) -> P:
     spec = [None] * np.ndim(x)
     spec[axis] = DATA_AXIS
+    if spatial and np.ndim(x) == axis + 4:
+        # image leaves ([B, H, W, C], or [k, B, H, W, C] fused) — shard the
+        # height axis over 'model'; GSPMD inserts the conv halo exchanges.
+        # Box/mask leaves are lower-rank and stay data-sharded only.
+        spec[axis + 1] = MODEL_AXIS
     return P(*spec)
 
 
-def shard_batch(mesh: Mesh, batch, axis: int = 0):
+def shard_batch(mesh: Mesh, batch, axis: int = 0, spatial: bool = False):
     """Place a host-local pytree of arrays as data-sharded global arrays
-    (``axis`` = the batch dimension; fused [k, B, ...] chunks use axis=1)."""
+    (``axis`` = the batch dimension; fused [k, B, ...] chunks use axis=1).
+    ``spatial``: additionally shard image heights over the ``model`` axis
+    (engine ``train.spatial_sharding`` — the very-large-input extension,
+    SURVEY.md §5)."""
     def place(x):
-        return jax.device_put(x, NamedSharding(mesh, _data_spec(x, axis)))
+        return jax.device_put(
+            x, NamedSharding(mesh, _data_spec(x, axis, spatial)))
 
     return jax.tree_util.tree_map(place, batch)
 
 
 def make_global_batch(mesh: Mesh, batch, process_count: int = 1,
-                      axis: int = 0):
+                      axis: int = 0, spatial: bool = False):
     """Assemble per-host batches into data-sharded GLOBAL arrays.
 
     Single-process: a plain ``device_put`` with the batch axis sharded.
@@ -74,11 +83,11 @@ def make_global_batch(mesh: Mesh, batch, process_count: int = 1,
     reference's DistributedSampler + DDP input scatter (data_builder.py:53-54).
     """
     if process_count <= 1:
-        return shard_batch(mesh, batch, axis)
+        return shard_batch(mesh, batch, axis, spatial)
 
     def place(x):
         return jax.make_array_from_process_local_data(
-            NamedSharding(mesh, _data_spec(x, axis)), np.asarray(x))
+            NamedSharding(mesh, _data_spec(x, axis, spatial)), np.asarray(x))
 
     return jax.tree_util.tree_map(place, batch)
 

@@ -297,10 +297,30 @@ class Experiment:
         # channel-sharded activations, so each model shard holds 1/n of the
         # params and computes 1/n of every conv
         self.tensor_sharding = int(train_cfg.get('tensor_sharding') or 1)
-        if self.tensor_sharding > 1 and process_count > 1:
+        # spatial partitioning (train.spatial_sharding, beyond-parity —
+        # SURVEY §5's very-large-input extension): image HEIGHTS shard over
+        # the model axis; GSPMD inserts conv halo exchanges.  State stays
+        # replicated (unlike tensor_sharding, which owns the same axis).
+        self.spatial_sharding = int(train_cfg.get('spatial_sharding') or 1)
+        if self.tensor_sharding > 1 and self.spatial_sharding > 1:
             raise ValueError(
-                'train.tensor_sharding is single-process only: the model '
-                'axis must ride ICI within one host, not DCN across hosts')
+                'train.tensor_sharding and train.spatial_sharding both '
+                'partition the model axis — enable at most one')
+        if ((self.tensor_sharding > 1 or self.spatial_sharding > 1)
+                and process_count > 1):
+            raise ValueError(
+                'train.tensor_sharding/spatial_sharding are single-process '
+                'only: the model axis must ride ICI, not DCN across hosts')
+        if self.spatial_sharding > 1:
+            if self.staging_colorspace == 'yuv420':
+                raise ValueError(
+                    'train.spatial_sharding cannot shard packed YUV420 '
+                    'staging buffers (plane boundaries); use rgb staging')
+            staged_h = staging[0]
+            if staged_h % self.spatial_sharding:
+                raise ValueError(
+                    f'train.spatial_sharding={self.spatial_sharding} must '
+                    f'divide the staged image height ({staged_h})')
         if devices is not None:  # explicit pool (single-process / tests)
             pool = list(devices)
             n_local = len(pool)
@@ -323,13 +343,13 @@ class Experiment:
                     f'{jax.local_device_count()} devices; using {n_local}')
             pool = jax.local_devices()[:n_local]
         n_model = 1
-        if self.tensor_sharding > 1:
-            n_model = self.tensor_sharding
+        if self.tensor_sharding > 1 or self.spatial_sharding > 1:
+            n_model = max(self.tensor_sharding, self.spatial_sharding)
             avail = list(devices) if devices is not None \
                 else jax.local_devices()
             if len(avail) < n_model:
                 raise ValueError(
-                    f'train.tensor_sharding={n_model} needs at least '
+                    f'a model-axis size of {n_model} needs at least '
                     f'{n_model} devices, have {len(avail)}')
             n_local = len(avail) // n_model
             while n_local > 1 and batch_size % n_local:
@@ -982,15 +1002,18 @@ class Experiment:
         fail a transfer with a transient backend error (docs/PERF.md), and
         device_put of a host batch is idempotent."""
         from single_shot_detection_tpu import parallel
+        spatial = self.spatial_sharding > 1
         try:
             return parallel.make_global_batch(self.mesh, batch,
-                                              self.process_count, axis)
+                                              self.process_count, axis,
+                                              spatial=spatial)
         except jax.errors.JaxRuntimeError as exc:
             logging.warning(f'WW transient device transfer failure ({exc}); '
                             f'retrying once')
             time.sleep(2)
             return parallel.make_global_batch(self.mesh, batch,
-                                              self.process_count, axis)
+                                              self.process_count, axis,
+                                              spatial=spatial)
 
     def _train_batches(self, loader, num_batches):
         """Yield ('single', batch) or — when ``fused_steps`` > 1 —

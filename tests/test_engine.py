@@ -314,6 +314,49 @@ def test_engine_tensor_sharding_matches_single_device():
     assert eval_results[0][1] == eval_results[1][1]
 
 
+def test_engine_spatial_sharding_matches_single_device():
+    """train.spatial_sharding through the PRODUCT path: a (4, 2) mesh with
+    image heights sharded over 'model' (GSPMD conv halos) reproduces the
+    single-device train + eval results."""
+    train_losses, eval_results = [], []
+    for sp in (0, 2):
+        cfg = load_config(SMOKE)
+        cfg.config.train['epochs'] = 1
+        cfg.config.train['eval_every'] = 1
+        cfg.config.train['num_batches_per_epoch'] = 1
+        if sp:
+            cfg.config.train['spatial_sharding'] = sp
+        exp = Experiment(cfg, phases=['train', 'eval'], debug=True,
+                         devices=None if sp else [jax.devices()[0]])
+        assert exp.mesh.shape['model'] == (sp or 1)
+        rows = exp.train()
+        train_losses.append(rows[-1]['train_loss'])
+        eval_results.append((rows[-1]['eval_loss'], rows[-1]['eval_mAP']))
+    np.testing.assert_allclose(train_losses[0], train_losses[1], rtol=2e-4)
+    np.testing.assert_allclose(eval_results[0][0], eval_results[1][0],
+                               rtol=2e-4)
+    assert eval_results[0][1] == eval_results[1][1]
+
+
+def test_spatial_sharding_rejects_bad_configs():
+    cfg = load_config(SMOKE)
+    cfg.config.train['spatial_sharding'] = 2
+    cfg.config.train['tensor_sharding'] = 2
+    with pytest.raises(ValueError, match='at most one'):
+        Experiment(cfg, phases=['train'], debug=True)
+
+    cfg = load_config(SMOKE)
+    cfg.config.train['spatial_sharding'] = 2
+    cfg.config.train['staging_colorspace'] = 'yuv420'
+    with pytest.raises(ValueError, match='YUV420'):
+        Experiment(cfg, phases=['train'], debug=True)
+
+    cfg = load_config(SMOKE)
+    cfg.config.train['spatial_sharding'] = 7  # 128 % 7 != 0
+    with pytest.raises(ValueError, match='divide'):
+        Experiment(cfg, phases=['train'], debug=True)
+
+
 def test_engine_async_checkpoint(tmp_path):
     """train.async_checkpoint: scheduled saves drain in a background
     thread off an on-device snapshot; train() returns only after the last

@@ -115,6 +115,25 @@ def test_hard_negative_mining_sharded_matches_exactly(rng):
     np.testing.assert_array_equal(single, sharded)
 
 
+def test_shard_batch_spatial_places_image_heights():
+    """spatial=True: image leaves shard H over 'model' (plain and fused
+    [k, B, ...] layouts); box/mask leaves stay data-sharded only."""
+    mesh = create_mesh(n_data=4, n_model=2)
+    batch = {'image': np.zeros((8, 4, 4, 3), np.float32),
+             'boxes': np.zeros((8, 2, 6), np.float32),
+             'box_mask': np.zeros((8, 2), bool)}
+    sharded = shard_batch(mesh, batch, spatial=True)
+    assert tuple(sharded['image'].sharding.spec[:2]) == ('data', 'model')
+    assert 'model' not in tuple(sharded['boxes'].sharding.spec)
+    assert 'model' not in tuple(sharded['box_mask'].sharding.spec)
+
+    fused = {k: np.stack([v, v]) for k, v in batch.items()}
+    sharded = shard_batch(mesh, fused, axis=1, spatial=True)
+    assert tuple(sharded['image'].sharding.spec[:3]) == (None, 'data',
+                                                         'model')
+    assert 'model' not in tuple(sharded['boxes'].sharding.spec)
+
+
 def test_shard_batch_places_on_data_axis():
     mesh = create_mesh()
     batch = {'image': np.zeros((8, 4, 4, 3), np.float32),
