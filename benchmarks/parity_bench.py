@@ -115,6 +115,12 @@ def bench_config(name, batch, dtype, steps, frozen_bn=False, int8=False,
                    jax.tree_util.tree_leaves(state.params))
     apply_fn = None
     if group_norm:
+        if int8 or frozen_bn:
+            # same contract the engine enforces: the int8 predict path
+            # ignores apply_fn (it would measure a plain-BN forward under
+            # a 'group_norm' label), and frozen_bn is meaningless with GN
+            raise ValueError('--group-norm does not compose with '
+                             '--int8/--frozen-bn')
         from single_shot_detection_tpu.models.norm import group_norm_apply
         apply_fn = group_norm_apply(bundle.module)
     step = make_train_step(bundle.module, criterion, assigner, anchors, tx,

@@ -48,13 +48,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _leaf_key(path) -> str:
+    """Last dict key on a tree path ('' for non-dict leaves)."""
+    for entry in reversed(path):
+        key = getattr(entry, 'key', None)
+        if key is not None:
+            return str(key)
+    return ''
+
+
 def _data_spec(x, axis: int, spatial: bool = False) -> P:
     spec = [None] * np.ndim(x)
     spec[axis] = DATA_AXIS
-    if spatial and np.ndim(x) == axis + 4:
+    if spatial and np.ndim(x) >= axis + 4:
         # image leaves ([B, H, W, C], or [k, B, H, W, C] fused) — shard the
         # height axis over 'model'; GSPMD inserts the conv halo exchanges.
-        # Box/mask leaves are lower-rank and stay data-sharded only.
         spec[axis + 1] = MODEL_AXIS
     return P(*spec)
 
@@ -64,12 +72,13 @@ def shard_batch(mesh: Mesh, batch, axis: int = 0, spatial: bool = False):
     (``axis`` = the batch dimension; fused [k, B, ...] chunks use axis=1).
     ``spatial``: additionally shard image heights over the ``model`` axis
     (engine ``train.spatial_sharding`` — the very-large-input extension,
-    SURVEY.md §5)."""
-    def place(x):
-        return jax.device_put(
-            x, NamedSharding(mesh, _data_spec(x, axis, spatial)))
+    SURVEY.md §5).  Only leaves NAMED ``image`` qualify — rank alone would
+    mis-shard future image-shaped auxiliaries (weight maps etc.)."""
+    def place(path, x):
+        sp = spatial and _leaf_key(path) == 'image'
+        return jax.device_put(x, NamedSharding(mesh, _data_spec(x, axis, sp)))
 
-    return jax.tree_util.tree_map(place, batch)
+    return jax.tree_util.tree_map_with_path(place, batch)
 
 
 def make_global_batch(mesh: Mesh, batch, process_count: int = 1,
@@ -85,11 +94,12 @@ def make_global_batch(mesh: Mesh, batch, process_count: int = 1,
     if process_count <= 1:
         return shard_batch(mesh, batch, axis, spatial)
 
-    def place(x):
+    def place(path, x):
+        sp = spatial and _leaf_key(path) == 'image'
         return jax.make_array_from_process_local_data(
-            NamedSharding(mesh, _data_spec(x, axis, spatial)), np.asarray(x))
+            NamedSharding(mesh, _data_spec(x, axis, sp)), np.asarray(x))
 
-    return jax.tree_util.tree_map(place, batch)
+    return jax.tree_util.tree_map_with_path(place, batch)
 
 
 def host_local_rows(array) -> np.ndarray:
@@ -120,6 +130,19 @@ def all_gather_host(tree, process_count: int = 1):
         return stacked.reshape((-1,) + stacked.shape[2:])
 
     return jax.tree_util.tree_map(gather, tree)
+
+
+def _largest_divisible_axis(shape, n: int, taken=()) -> Optional[int]:
+    """The largest axis of ``shape`` divisible by ``n`` (excluding ``taken``
+    indices), or None — the ZeRO-1 axis-selection policy shared by
+    :func:`zero_state_sharding` and :func:`tensor_state_sharding`."""
+    best = None
+    for ax, d in enumerate(shape):
+        if ax in taken or d <= 1 or d % n:
+            continue
+        if best is None or d > shape[best]:
+            best = ax
+    return best
 
 
 def zero_state_sharding(mesh: Mesh, state, min_size: Optional[int] = None):
@@ -156,10 +179,7 @@ def zero_state_sharding(mesh: Mesh, state, min_size: Optional[int] = None):
         shape = tuple(np.shape(x))
         if int(np.prod(shape or (1,))) < min_size:
             return repl
-        best = None
-        for ax, d in enumerate(shape):
-            if d % n == 0 and d > 1 and (best is None or d > shape[best]):
-                best = ax
+        best = _largest_divisible_axis(shape, n)
         if best is None:
             return repl
         spec = [None] * len(shape)
@@ -228,11 +248,8 @@ def tensor_state_sharding(mesh: Mesh, state, zero: bool = False):
         shape = tuple(np.shape(x))
         if (zero and n_data > 1
                 and int(np.prod(shape or (1,))) >= zero_min):
-            best = None
-            for ax, d in enumerate(shape):
-                if spec[ax] is None and d % n_data == 0 and d > 1 and (
-                        best is None or d > shape[best]):
-                    best = ax
+            taken = tuple(ax for ax, s in enumerate(spec) if s is not None)
+            best = _largest_divisible_axis(shape, n_data, taken)
             if best is not None:
                 spec[best] = DATA_AXIS
         if not any(spec):

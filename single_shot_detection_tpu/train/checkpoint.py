@@ -68,10 +68,17 @@ def save(checkpoint_dir: str, state, epoch: int) -> str:
     state = _gather_addressable(state)
     step = int(jax.device_get(state.step))
     path = os.path.join(checkpoint_dir, f'ckpt-{step}.msgpack')
-    with open(path, 'wb') as f:
+    # write-then-rename: a crash mid-write (incl. a killed AsyncSaver
+    # daemon thread) must never leave a truncated ckpt-N.msgpack that
+    # find_latest would prefer over the last good one — .tmp names don't
+    # match _CKPT_RE, and rename is atomic on POSIX
+    tmp = path + '.tmp'
+    with open(tmp, 'wb') as f:
         f.write(serialization.to_bytes(state))
-    with open(path + '.meta.json', 'w') as f:
+    with open(path + '.meta.json.tmp', 'w') as f:
         json.dump({'epoch': epoch, 'global_step': step}, f)
+    os.replace(tmp, path)
+    os.replace(path + '.meta.json.tmp', path + '.meta.json')
     logging.info(f'>> Saved checkpoint {path}')
     return path
 

@@ -80,6 +80,24 @@ def _is_transient(exc, had_success: bool = False) -> bool:
     return had_success and any(m in msg for m in _AMBIGUOUS_MARKERS)
 
 
+def _bn_stats_look_untouched(batch_stats) -> bool:
+    """True when every BN running statistic sits exactly at its 0 (mean) /
+    1 (var) init — the signature of a GroupNorm-trained checkpoint
+    (models/norm.py never writes them).  A trained-BN checkpoint virtually
+    never has ALL stats bit-exact at init."""
+    flat = jax.tree_util.tree_flatten_with_path(batch_stats)[0]
+    found = False
+    for path, leaf in flat:
+        key = str(getattr(path[-1], 'key', '')) if path else ''
+        if key not in ('mean', 'var'):
+            continue
+        found = True
+        a = np.asarray(jax.device_get(leaf))
+        if not np.all(a == (0.0 if key == 'mean' else 1.0)):
+            return False
+    return found
+
+
 def create_datasets(dataset_cfg: dict, phases) -> dict:
     """Config-driven dataset factory (parity: data_builder.py:27-42)."""
     out = {}
@@ -316,12 +334,32 @@ class Experiment:
                 raise ValueError(
                     'train.spatial_sharding cannot shard packed YUV420 '
                     'staging buffers (plane boundaries); use rgb staging')
-            staged_h = staging[0]
+            # staging/input sizes are (w, h); the staged batch is
+            # [B, h, w, 3] (loader.py stage buffers) and _data_spec shards
+            # axis 1 — the HEIGHT, staging[1]
+            staged_h = staging[1]
             if staged_h % self.spatial_sharding:
                 raise ValueError(
                     f'train.spatial_sharding={self.spatial_sharding} must '
                     f'divide the staged image height ({staged_h})')
-        if devices is not None:  # explicit pool (single-process / tests)
+        n_model = max(self.tensor_sharding, self.spatial_sharding)
+        if n_model > 1:
+            avail = list(devices) if devices is not None \
+                else jax.local_devices()
+            if len(avail) < n_model:
+                raise ValueError(
+                    f'a model-axis size of {n_model} needs at least '
+                    f'{n_model} devices, have {len(avail)}')
+            n_local = len(avail) // n_model
+            while n_local > 1 and batch_size % n_local:
+                n_local -= 1
+            if n_local * n_model != len(avail):
+                logging.warning(
+                    f'WW using {n_local * n_model} of {len(avail)} devices '
+                    f'({n_local} data x {n_model} model; batch_size '
+                    f'{batch_size} limits the data axis)')
+            pool = avail[:n_local * n_model]
+        elif devices is not None:  # explicit pool (single-process / tests)
             pool = list(devices)
             n_local = len(pool)
             while n_local > 1 and batch_size % n_local:
@@ -342,19 +380,6 @@ class Experiment:
                     f'WW batch_size {batch_size} not divisible by '
                     f'{jax.local_device_count()} devices; using {n_local}')
             pool = jax.local_devices()[:n_local]
-        n_model = 1
-        if self.tensor_sharding > 1 or self.spatial_sharding > 1:
-            n_model = max(self.tensor_sharding, self.spatial_sharding)
-            avail = list(devices) if devices is not None \
-                else jax.local_devices()
-            if len(avail) < n_model:
-                raise ValueError(
-                    f'a model-axis size of {n_model} needs at least '
-                    f'{n_model} devices, have {len(avail)}')
-            n_local = len(avail) // n_model
-            while n_local > 1 and batch_size % n_local:
-                n_local -= 1
-            pool = avail[:n_local * n_model]
         self.mesh = parallel.create_mesh(
             n_data=n_local * process_count, n_model=n_model, devices=pool)
         self._replicated = parallel.replicated(self.mesh)
@@ -486,8 +511,10 @@ class Experiment:
                 '(utils/torch_import.py) — training from scratch')
 
         weight_file = detector_cfg.get('weight')
+        restored_any = False
         if weight_file:
             self.state = ckpt.restore_weights_only(weight_file, self.state)
+            restored_any = True
         if resume_from:
             path = ckpt.find_latest(resume_from)
             if path:
@@ -496,8 +523,19 @@ class Experiment:
                 else:
                     self.state, meta = ckpt.restore(path, self.state)
                     self.start_epoch = meta['epoch'] + 1
+                restored_any = True
             else:
                 logging.warning(f'WW no checkpoint found under {resume_from}')
+        if (restored_any and self.gn_apply is None
+                and _bn_stats_look_untouched(self.state.batch_stats)):
+            # a GroupNorm run never writes the BN running statistics —
+            # restoring its checkpoint without train.group_norm would
+            # silently normalize with the 0/1 identity stats
+            logging.warning(
+                'WW restored checkpoint has every BN running statistic at '
+                'its 0/1 init — if it was trained with train.group_norm, '
+                'set it here too or eval will silently use identity '
+                'normalization')
 
         # ZeRO-1 optimizer-state sharding (train.zero_sharding, beyond-
         # parity): opt_state + EMA shadow sharded over the data axis,
@@ -659,13 +697,15 @@ class Experiment:
             return self._train_epochs()
         except KeyboardInterrupt:
             if self.checkpoint_dir and not self.debug and self.process_index == 0:
-                self._drain_async_saves(swallow=True)
                 path = ckpt.save(self.checkpoint_dir, self.state,
                                  getattr(self, '_current_epoch', 0))
                 logging.warning(f'WW interrupted — emergency checkpoint '
                                 f'saved to {path}')
             raise
         finally:
+            # an in-flight async save must finish (or report) no matter
+            # how train() exits — incl. exceptions no handler above catches
+            self._drain_async_saves(swallow=True)
             if installed:
                 # prev_handler is None when the previous handler was
                 # installed by non-Python code and cannot be re-installed
