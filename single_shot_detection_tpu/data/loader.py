@@ -62,7 +62,8 @@ class Loader:
                  prefetch: int = 2,
                  process_count: int = 1,
                  process_index: int = 0,
-                 staging_colorspace: str = 'rgb'):
+                 staging_colorspace: str = 'rgb',
+                 cache_dir: Optional[str] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.staging_size = tuple(staging_size)
@@ -86,6 +87,14 @@ class Loader:
             raise ValueError('yuv420 staging needs even staging dims, got '
                              f'{self.staging_size}')
         self.staging_colorspace = staging_colorspace
+        # on-disk staging cache (data/cache.py): staged pixels are a pure
+        # function of (dataset, staging_size, colorspace) — decode once,
+        # read at page-cache bandwidth every later epoch
+        self.cache = None
+        if cache_dir:
+            from single_shot_detection_tpu.data.cache import StagingCache
+            self.cache = StagingCache(cache_dir, dataset, self.staging_size,
+                                      staging_colorspace)
 
     def _indices(self) -> np.ndarray:
         n = len(self.dataset)
@@ -128,14 +137,37 @@ class Loader:
         return native.decode_batch_into(paths, images[:len(idxs)],
                                         num_threads=self.num_workers)
 
-    def _stage_fallback(self, i: int):
-        """Python decode+stage for one sample, in the staging colorspace."""
+    def _stage_one(self, i: int):
+        """Python decode+stage of one sample: (staged image in the staging
+        colorspace, original (w, h))."""
         from single_shot_detection_tpu.data import native
-        img, b = stage_image(self.dataset.load_image(int(i)),
-                             self.dataset.boxes(int(i)), self.staging_size)
+        img = self.dataset.load_image(int(i))
+        h, w = img.shape[:2]
+        img, _ = stage_image(img, np.zeros((0, 4), np.float32),
+                             self.staging_size)
         if self.staging_colorspace == 'yuv420':
             img = native.rgb_to_yuv420(img)
-        return img, b
+        return img, (w, h)
+
+    def _decode_rows(self, idxs, rows_out: np.ndarray,
+                     pool: ThreadPoolExecutor) -> np.ndarray:
+        """Decode+stage ``idxs`` into ``rows_out`` (one staging record per
+        row); returns ``[k, 2]`` original (w, h) sizes.  C++ batch path when
+        every source is a JPEG file, threaded python otherwise."""
+        out = np.zeros((len(idxs), 2), np.int64)
+        sizes = self._native_fill(idxs, rows_out)
+        if sizes is not None:
+            for r, i in enumerate(idxs):
+                w, h = int(sizes[r, 0]), int(sizes[r, 1])
+                if w == 0 or h == 0:  # native decode failed: python fallback
+                    img, (w, h) = self._stage_one(int(i))
+                    rows_out[r] = img
+                out[r] = (w, h)
+        else:
+            for r, (img, wh) in enumerate(pool.map(self._stage_one, idxs)):
+                rows_out[r] = img
+                out[r] = wh
+        return out
 
     def _make_batch(self, idxs: np.ndarray, pool: ThreadPoolExecutor) -> dict:
         s = self.staging_size
@@ -148,33 +180,42 @@ class Loader:
             images = np.zeros((self.batch_size, s[1], s[0], 3), np.uint8)
         boxes = np.zeros((self.batch_size, self.max_gt, 7), np.float32)
         mask = np.zeros((self.batch_size, self.max_gt), bool)
+        rows = images[:n]
 
-        sizes = self._native_fill(idxs, images)
-        if sizes is not None:
-            for row, i in enumerate(idxs):
-                w, h = int(sizes[row, 0]), int(sizes[row, 1])
-                if w == 0 or h == 0:  # native decode failed: python fallback
-                    img, b = self._stage_fallback(int(i))
-                    images[row] = img
+        if self.cache is not None:
+            sizes = np.zeros((n, 2), np.int64)
+            miss = []
+            for r, i in enumerate(idxs):
+                rec = self.cache.get(int(i))
+                if rec is None:
+                    miss.append(r)
                 else:
-                    b = self.dataset.boxes(int(i)).copy()
-                    if len(b):
-                        b[:, [0, 2]] = np.clip(b[:, [0, 2]] * (s[0] / w),
-                                               0, s[0] - 1)
-                        b[:, [1, 3]] = np.clip(b[:, [1, 3]] * (s[1] / h),
-                                               0, s[1] - 1)
-                k = min(len(b), self.max_gt)
-                if k:
-                    boxes[row, :k, :b.shape[1]] = b[:k]
-                    mask[row, :k] = True
+                    rows[r], sizes[r] = rec
+            if miss:
+                tmp = np.empty((len(miss),) + rows.shape[1:], np.uint8)
+                miss_sizes = self._decode_rows(
+                    np.asarray(idxs)[miss], tmp, pool)
+                for k, r in enumerate(miss):
+                    rows[r] = tmp[k]
+                    sizes[r] = miss_sizes[k]
+                    self.cache.put(int(idxs[r]), tmp[k],
+                                   tuple(miss_sizes[k]))
         else:
-            for row, (img, b) in enumerate(pool.map(self._stage_fallback,
-                                                    idxs)):
-                images[row] = img
-                k = min(len(b), self.max_gt)
-                if k:
-                    boxes[row, :k, :b.shape[1]] = b[:k]
-                    mask[row, :k] = True
+            sizes = self._decode_rows(idxs, rows, pool)
+
+        for row, i in enumerate(idxs):
+            w, h = int(sizes[row, 0]), int(sizes[row, 1])
+            b = self.dataset.boxes(int(i))
+            if len(b):
+                b = b.copy()
+                b[:, [0, 2]] = np.clip(b[:, [0, 2]] * (s[0] / w),
+                                       0, s[0] - 1)
+                b[:, [1, 3]] = np.clip(b[:, [1, 3]] * (s[1] / h),
+                                       0, s[1] - 1)
+            k = min(len(b), self.max_gt)
+            if k:
+                boxes[row, :k, :b.shape[1]] = b[:k]
+                mask[row, :k] = True
 
         ids = np.full((self.batch_size,), -1, np.int64)
         ids[:n] = idxs
@@ -219,9 +260,12 @@ def create_loaders(datasets: dict, batch_size: int, staging_size,
                    shuffle: bool = False, num_workers: int = 4,
                    max_gt: int = 100, seed: int = 23,
                    process_count: int = 1, process_index: int = 0,
-                   staging_colorspace: str = 'rgb') -> dict:
+                   staging_colorspace: str = 'rgb',
+                   cache_dir: Optional[str] = None) -> dict:
     """Per-phase loaders (parity: data_builder.py:44-87 — eval batch x2,
-    drop_last for train)."""
+    drop_last for train).  ``cache_dir`` enables the on-disk staging cache,
+    one subdirectory per phase (train/eval datasets differ)."""
+    import os
     loaders = {}
     for phase, dataset in datasets.items():
         loaders[phase] = Loader(
@@ -235,5 +279,6 @@ def create_loaders(datasets: dict, batch_size: int, staging_size,
             num_workers=num_workers,
             process_count=process_count,
             process_index=process_index,
-            staging_colorspace=staging_colorspace)
+            staging_colorspace=staging_colorspace,
+            cache_dir=os.path.join(cache_dir, phase) if cache_dir else None)
     return loaders

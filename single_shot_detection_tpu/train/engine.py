@@ -113,6 +113,18 @@ def create_datasets(dataset_cfg: dict, phases) -> dict:
     return out
 
 
+def _staging_cache_dir(cache_dir, process_count: int,
+                       process_index: int) -> Optional[str]:
+    """Per-process staging-cache directory.  The cache is single-writer;
+    multi-host runs on a shared filesystem get one subdirectory per process
+    (each host only ever touches its own loader shard anyway)."""
+    if not cache_dir:
+        return None
+    if process_count > 1:
+        return os.path.join(str(cache_dir), f'p{process_index}')
+    return str(cache_dir)
+
+
 class Experiment:
     """Everything assembled from one config (parity: init.py:19-137 +
     main.py wiring)."""
@@ -217,7 +229,14 @@ class Experiment:
                 seed=self.seed,
                 process_count=process_count,
                 process_index=process_index,
-                staging_colorspace=self.staging_colorspace)
+                staging_colorspace=self.staging_colorspace,
+                # on-disk staging cache (train.staging_cache, beyond-parity,
+                # data/cache.py): decode+stage once, later epochs read the
+                # memmapped records — removes JPEG decode from steady-state
+                # training on decode-bound hosts
+                cache_dir=_staging_cache_dir(
+                    train_cfg0.get('staging_cache'),
+                    process_count, process_index))
 
         # --- pipelines ----------------------------------------------------
         self.train_pipeline = Pipeline(cfg.augmentations, cfg.preprocessing,
