@@ -111,14 +111,18 @@ def stage_jpeg_dataset(root):
     return csv_path
 
 
-def bench_end_to_end(bf16, staging_colorspace='rgb'):
+def bench_end_to_end(bf16, staging_colorspace='rgb', staging_cache=False):
     """A user's epoch: main.py's Experiment on a staged JPEG dataset.
 
     ``staging_colorspace='yuv420'`` measures the packed-YUV staging path
     (1.5 B/px over the host->device link instead of 3 — the direct lever on
     the transfer-bandwidth term that bounds e2e on this relay harness).
+    ``staging_cache`` measures with the on-disk staging cache
+    (train.staging_cache): the warmup epoch fills it, so the timed epochs
+    run decode-free — the steady state of a cache-enabled run.
     """
-    print(f'bench: end-to-end phase ({staging_colorspace})...', flush=True)
+    print(f'bench: end-to-end phase ({staging_colorspace}'
+          f'{", cached" if staging_cache else ""})...', flush=True)
     from single_shot_detection_tpu.train.engine import Experiment
     from single_shot_detection_tpu.utils.config import load_config
 
@@ -133,6 +137,8 @@ def bench_end_to_end(bf16, staging_colorspace='rgb'):
         cfg.config.train['epochs'] = 1
         cfg.config.train['eval_every'] = 99
         cfg.config.train['staging_colorspace'] = staging_colorspace
+        if staging_cache:
+            cfg.config.train['staging_cache'] = os.path.join(root, 'stage')
         cfg.config.num_workers = 4
 
         exp = Experiment(cfg, phases=['train'], debug=True, bf16=bf16)
@@ -200,6 +206,8 @@ def main():
     e2e = _retry(bench_end_to_end, bf16=on_tpu)
     e2e_yuv = _retry(bench_end_to_end, bf16=on_tpu,
                      staging_colorspace='yuv420')
+    e2e_cached = _retry(bench_end_to_end, bf16=on_tpu,
+                        staging_colorspace='yuv420', staging_cache=True)
 
     # BASELINE.json's stated metric is images/sec/chip: the headline `value`
     # is the device train step at the flagship batch (128 — see module
@@ -231,6 +239,9 @@ def main():
         # transfer-bandwidth bound
         'end_to_end_img_s_yuv420': round(e2e_yuv['median'], 2),
         'end_to_end_img_s_yuv420_best': round(e2e_yuv['best'], 2),
+        # + on-disk staging cache (train.staging_cache): steady-state epochs
+        # are decode-free (14.9-24x host loader speedup, docs/PERF.md)
+        'end_to_end_img_s_yuv420_cached': round(e2e_cached['median'], 2),
         # like-for-like ratio: e2e pipeline vs the e2e GPU estimate
         'end_to_end_vs_baseline': round(e2e['median'] / REFERENCE_GPU_IMG_S,
                                         3),

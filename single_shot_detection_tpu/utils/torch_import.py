@@ -206,9 +206,9 @@ MAPPINGS = {
 }
 for _suffix in ('x0_5', 'x1_0', 'x1_5', 'x2_0'):
     MAPPINGS[f'torchvision_shufflenet_v2_{_suffix}'] = shufflenet_v2_mapping
-for _mult in ('10', '075', '05', '035'):
+for _mult in ('10', '075', '050', '05', '035'):
     MAPPINGS[f'mobilenet_v2_{_mult}'] = mobilenet_v2_mapping
-for _mult in ('10', '075', '05', '025'):
+for _mult in ('10', '075', '050', '05', '025'):
     MAPPINGS[f'mobilenet_{_mult}'] = mobilenet_v1_mapping
 for _name, _layers in SE_LAYERS.items():
     MAPPINGS[f'pretrainedmodels_{_name}'] = functools.partial(
