@@ -151,9 +151,23 @@ class Detector(nn.Module):
     head_dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False, return_sources: bool = False):
-        sources, x = self.features(x, train=train)
-        sources = list(sources)
+    def __call__(self, x, train: bool = False, return_sources: bool = False,
+                 stage: Optional[int] = None, stage_state=None):
+        """``stage`` exposes the pipeline-parallel seam
+        (parallel/pipeline.py): ``stage=0`` runs only the backbone/neck and
+        returns ``(sources, x)``; ``stage=1`` consumes that tuple via
+        ``stage_state`` and runs extras/predictor/heads.  ``stage=None``
+        (default) is the ordinary full forward.  Parameter names are
+        identical in all modes (every submodule here is explicitly named),
+        so one variable tree serves full and staged application."""
+        if stage == 1:
+            sources, x = stage_state
+            sources = list(sources)
+        else:
+            sources, x = self.features(x, train=train)
+            sources = list(sources)
+            if stage == 0:
+                return tuple(sources), x
 
         for i, (type_, out_channels) in enumerate(self.extras):
             override = (self.extras_overrides[i]

@@ -9,3 +9,5 @@ from single_shot_detection_tpu.parallel.mesh import (DATA_AXIS,  # noqa: F401
                                                      replicated, shard_batch,
                                                      tensor_state_sharding,
                                                      zero_state_sharding)
+from single_shot_detection_tpu.parallel.pipeline import (  # noqa: F401
+    make_pipeline_apply)

@@ -339,15 +339,30 @@ class Experiment:
         # the model axis; GSPMD inserts conv halo exchanges.  State stays
         # replicated (unlike tensor_sharding, which owns the same axis).
         self.spatial_sharding = int(train_cfg.get('spatial_sharding') or 1)
-        if self.tensor_sharding > 1 and self.spatial_sharding > 1:
+        # pipeline parallelism (train.pipeline_sharding, beyond-parity):
+        # GPipe microbatch schedule over the model axis — stage 0 (backbone/
+        # neck) on one core group, stage 1 (extras/heads) on the other,
+        # activations hand-off via ppermute ring buffers
+        # (parallel/pipeline.py).  Value = microbatch count (int or
+        # {'microbatches': M}); stages are fixed at 2 (the detector seam).
+        pp_cfg = train_cfg.get('pipeline_sharding')
+        if isinstance(pp_cfg, dict):
+            self.pipeline_microbatches = int(pp_cfg.get('microbatches', 2))
+        else:
+            self.pipeline_microbatches = int(pp_cfg or 0)
+        n_model_owners = sum((self.tensor_sharding > 1,
+                              self.spatial_sharding > 1,
+                              self.pipeline_microbatches > 0))
+        if n_model_owners > 1:
             raise ValueError(
-                'train.tensor_sharding and train.spatial_sharding both '
-                'partition the model axis — enable at most one')
-        if ((self.tensor_sharding > 1 or self.spatial_sharding > 1)
-                and process_count > 1):
+                'train.tensor_sharding / spatial_sharding / '
+                'pipeline_sharding all partition the model axis — '
+                'enable at most one')
+        if n_model_owners and process_count > 1:
             raise ValueError(
-                'train.tensor_sharding/spatial_sharding are single-process '
-                'only: the model axis must ride ICI, not DCN across hosts')
+                'train.tensor_sharding/spatial_sharding/pipeline_sharding '
+                'are single-process only: the model axis must ride ICI, '
+                'not DCN across hosts')
         if self.spatial_sharding > 1:
             if self.staging_colorspace == 'yuv420':
                 raise ValueError(
@@ -362,6 +377,9 @@ class Experiment:
                     f'train.spatial_sharding={self.spatial_sharding} must '
                     f'divide the staged image height ({staged_h})')
         n_model = max(self.tensor_sharding, self.spatial_sharding)
+        if self.pipeline_microbatches:
+            from single_shot_detection_tpu.parallel import pipeline as _pp
+            n_model = _pp.N_STAGES
         if n_model > 1:
             avail = list(devices) if devices is not None \
                 else jax.local_devices()
@@ -636,15 +654,49 @@ class Experiment:
         # recipe from imported weights, and drops the batch-stat
         # reductions from the step (docs/PERF.md)
         self.frozen_bn = bool(train_cfg.get('frozen_bn', False))
+        # pipeline parallelism (train.pipeline_sharding): the TRAIN forward
+        # runs the GPipe schedule (parallel/pipeline.py); eval/predict stay
+        # unpipelined — the state is replicated, so the plain data-parallel
+        # forward serves them without the bubble overhead
+        self.pipeline_apply = None
+        if self.pipeline_microbatches:
+            if self.qat_apply is not None:
+                raise ValueError(
+                    'train.pipeline_sharding does not compose with '
+                    'train.qat (activation scales mutate in-forward)')
+            if not (self.frozen_bn or self.gn_apply is not None):
+                raise ValueError(
+                    'train.pipeline_sharding trains with a non-mutating '
+                    'forward (batch statistics cannot update inside the '
+                    'scanned, staged program) — set train.frozen_bn '
+                    '(the fine-tune recipe) or train.group_norm')
+            per_dev = batch_size // self.mesh.shape['data']
+            if per_dev % self.pipeline_microbatches:
+                raise ValueError(
+                    f'train.pipeline_sharding={self.pipeline_microbatches} '
+                    f'microbatches must divide the per-device batch '
+                    f'({per_dev})')
+            self.pipeline_apply = parallel.make_pipeline_apply(
+                self.bundle.module, self.mesh, self.pipeline_microbatches,
+                apply=self.gn_apply)
+            logging.info(
+                f'II pipeline parallelism: 2 stages x '
+                f'{self.pipeline_microbatches} microbatches '
+                f'(bubble fraction '
+                f'{1 / (self.pipeline_microbatches + 1):.0%})')
+        train_apply = self.pipeline_apply or self.apply_override
+        # the pipelined forward is train=False by construction; reuse the
+        # frozen-BN step branch (group_norm makes the flag a no-op anyway)
+        step_frozen_bn = self.frozen_bn or self.pipeline_apply is not None
         # augmentation fuses into the train step: one dispatch per step
         self.train_step = make_train_step(
             self.bundle.module, self.criterion, self.assigner, self.anchors,
             self.tx, mixup=train_cfg.get('mixup'),
             pipeline=self.train_pipeline,
             with_grads=self._needs_taylor,
-            frozen_bn=self.frozen_bn,
+            frozen_bn=step_frozen_bn,
             ema=self.ema_decay,
-            apply_fn=self.apply_override, qat=self.qat_apply is not None,
+            apply_fn=train_apply, qat=self.qat_apply is not None,
             state_sharding=(self._state_sharding
                             if self._state_sharding is not self._replicated
                             else None))
