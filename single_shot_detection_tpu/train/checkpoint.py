@@ -43,14 +43,21 @@ def find_latest(checkpoint_path: str) -> Optional[str]:
     return None
 
 
-def _gather_addressable(state):
+def gather_for_save(state):
     """Under multi-host ZeRO sharding (train.zero_sharding) some leaves are
     not fully addressable — ``device_get`` would fail.  Replicate them via
     a jitted identity (an all-gather on the state's own mesh) so every host
-    serializes the complete state.  No-op single-host or replicated."""
+    serializes the complete state.  No-op single-host, replicated, or
+    single-host-sharded (all fully addressable).
+
+    COLLECTIVE CONTRACT: when any leaf is cross-host sharded this launches
+    a global program — EVERY process must call it (the engine does, before
+    gating serialization on process 0).  Calling it from one rank alone
+    deadlocks the cluster."""
     arrays = [x for x in jax.tree_util.tree_leaves(state)
               if hasattr(x, 'is_fully_addressable')]
-    if all(x.is_fully_addressable for x in arrays):
+    if all(x.is_fully_addressable or x.is_fully_replicated
+           for x in arrays):
         return state
     from jax.sharding import NamedSharding, PartitionSpec
 
@@ -65,7 +72,7 @@ def save(checkpoint_dir: str, state, epoch: int) -> str:
     """Write ckpt-{step}.msgpack + sidecar counters
     (parity: callbacks.py:68-73)."""
     os.makedirs(checkpoint_dir, exist_ok=True)
-    state = _gather_addressable(state)
+    state = gather_for_save(state)
     step = int(jax.device_get(state.step))
     path = os.path.join(checkpoint_dir, f'ckpt-{step}.msgpack')
     # write-then-rename: a crash mid-write (incl. a killed AsyncSaver

@@ -714,8 +714,8 @@ class Experiment:
                 self.bundle.module, self.criterion, self.assigner,
                 self.anchors, self.tx, k=self.fused_steps,
                 mixup=train_cfg.get('mixup'), pipeline=self.train_pipeline,
-                frozen_bn=self.frozen_bn, ema=self.ema_decay,
-                apply_fn=self.apply_override, qat=self.qat_apply is not None,
+                frozen_bn=step_frozen_bn, ema=self.ema_decay,
+                apply_fn=train_apply, qat=self.qat_apply is not None,
                 state_sharding=(self._state_sharding
                                 if self._state_sharding is not self._replicated
                                 else None))
@@ -767,7 +767,9 @@ class Experiment:
         try:
             return self._train_epochs()
         except KeyboardInterrupt:
-            if self.checkpoint_dir and not self.debug and self.process_index == 0:
+            if (self.checkpoint_dir and not self.debug
+                    and self.process_index == 0
+                    and self._emergency_saveable()):
                 path = ckpt.save(self.checkpoint_dir, self.state,
                                  getattr(self, '_current_epoch', 0))
                 logging.warning(f'WW interrupted — emergency checkpoint '
@@ -833,7 +835,8 @@ class Experiment:
                     f'{str(exc)[:200]} — checkpointing and continuing with '
                     f'the next epoch ({self._transient_budget} retries left)')
                 if (self.checkpoint_dir and not self.debug
-                        and self.process_index == 0):
+                        and self.process_index == 0
+                        and self._emergency_saveable()):
                     try:
                         self._drain_async_saves(swallow=True)
                         ckpt.save(self.checkpoint_dir, self.state, epoch)
@@ -871,18 +874,40 @@ class Experiment:
             if csv_path:
                 self._write_csv(csv_path, epoch_rows)
             if (self.checkpoint_dir and not self.debug
-                    and (epoch + 1) % self.save_every == 0
-                    and self.process_index == 0):
-                if self._async_saver is not None:
-                    self._async_saver.save(self.checkpoint_dir, self.state,
-                                           epoch)
-                else:
-                    ckpt.save(self.checkpoint_dir, self.state, epoch)
+                    and (epoch + 1) % self.save_every == 0):
+                # gather BEFORE the rank gate: replicating cross-host ZeRO
+                # shards is a collective — every process must participate
+                # (no-op single-host / replicated); only rank 0 serializes
+                to_save = ckpt.gather_for_save(self.state)
+                if self.process_index == 0:
+                    if self._async_saver is not None:
+                        self._async_saver.save(self.checkpoint_dir, to_save,
+                                               epoch)
+                    else:
+                        ckpt.save(self.checkpoint_dir, to_save, epoch)
 
         # the last checkpoint must be durable (and any background failure
         # surfaced) before train() returns
         self._drain_async_saves(swallow=False)
         return epoch_rows
+
+    def _emergency_saveable(self) -> bool:
+        """Emergency paths (interrupt / transient failure) run on ONE rank,
+        so they cannot launch the collective gather that cross-host ZeRO
+        shards need (checkpoint.gather_for_save) — skip with a pointer to
+        the last scheduled save instead of deadlocking the cluster.
+        Always True single-host (sharded leaves are fully addressable)."""
+        ok = all(getattr(x, 'is_fully_addressable', True)
+                 or getattr(x, 'is_fully_replicated', True)
+                 for x in jax.tree_util.tree_leaves(self.state))
+        if not ok:
+            logging.warning(
+                'WW state has cross-host-sharded leaves '
+                '(train.zero_sharding over multiple processes): emergency '
+                'checkpoint skipped (gathering is a collective, unsafe '
+                'from one rank mid-failure) — resume from the last '
+                'scheduled save')
+        return ok
 
     def _drain_async_saves(self, swallow: bool) -> None:
         """Join any in-flight async checkpoint write.  ``swallow=True``

@@ -107,10 +107,11 @@ def _free_port():
     return port
 
 
-def test_two_process_cpu_cluster_matches_single_process(tmp_path):
+def _run_two_process_cluster(tmp_path, cfg_text):
+    """Spawn the 2-process CPU cluster on cfg_text; return both ranks'
+    result dicts (asserting both exited 0)."""
     cfg_multi = tmp_path / 'cfg_multi.py'
-    # per-host batch 4 x 2 processes = global batch 8 = the whole dataset
-    cfg_multi.write_text(CFG.replace('BATCH_SIZE_PLACEHOLDER', '4'))
+    cfg_multi.write_text(cfg_text)
     worker = tmp_path / 'worker.py'
     worker.write_text(textwrap.dedent(WORKER))
 
@@ -152,6 +153,13 @@ def test_two_process_cpu_cluster_matches_single_process(tmp_path):
         results[1]['eval_mAP'], abs=1e-6)
     assert results[0]['digest'] == pytest.approx(results[1]['digest'],
                                                  rel=1e-6)
+    return results
+
+
+def test_two_process_cpu_cluster_matches_single_process(tmp_path):
+    # per-host batch 4 x 2 processes = global batch 8 = the whole dataset
+    results = _run_two_process_cluster(
+        tmp_path, CFG.replace('BATCH_SIZE_PLACEHOLDER', '4'))
 
     # single-process over the SAME global batch (batch 8, no augmentation):
     # gradients/mAP must agree up to reduction-order float noise
@@ -172,3 +180,25 @@ def test_two_process_cpu_cluster_matches_single_process(tmp_path):
     assert results[0]['digest'] == pytest.approx(digest, rel=1e-5)
     assert results[0]['eval_mAP'] == pytest.approx(
         float(rows[-1]['eval_mAP']), abs=1e-3)
+
+
+def test_two_process_zero_sharding(tmp_path):
+    """ZeRO-1 across processes: the optimizer state shards over the GLOBAL
+    data axis (8 devices spanning 2 hosts).  Round-2/3 coverage stopped at
+    single-process ZeRO; this executes the cross-host layout for real and
+    pins agreement with the plain (replicated) 2-process run."""
+    zero_cfg = CFG.replace('BATCH_SIZE_PLACEHOLDER', '4').replace(
+        "'max_gt': 4,", "'max_gt': 4, 'zero_sharding': True,")
+    assert 'zero_sharding' in zero_cfg
+    results = _run_two_process_cluster(tmp_path, zero_cfg)
+
+    plain = _run_two_process_cluster(
+        tmp_path, CFG.replace('BATCH_SIZE_PLACEHOLDER', '4'))
+    # same data, same global program modulo the opt-state layout: only
+    # float reduction-order noise may differ
+    assert results[0]['train_loss'] == pytest.approx(
+        plain[0]['train_loss'], rel=1e-4)
+    assert results[0]['digest'] == pytest.approx(plain[0]['digest'],
+                                                 rel=1e-5)
+    assert results[0]['eval_mAP'] == pytest.approx(plain[0]['eval_mAP'],
+                                                   abs=1e-3)

@@ -91,6 +91,26 @@ def test_pipeline_grad_matches_plain(rng):
         g_plain, g_pp)
 
 
+@pytest.mark.slow
+def test_pipeline_composes_with_group_norm(rng):
+    """train.group_norm + train.pipeline_sharding: the GN trace-time
+    override threads through the staged forward (stage kwargs forwarded),
+    matching the unpipelined GN forward."""
+    from single_shot_detection_tpu.models import norm
+    bundle, variables = _bundle_and_vars()
+    gn_apply = norm.group_norm_apply(bundle.module)
+    mesh = create_mesh(n_data=4, n_model=2)
+    papply = make_pipeline_apply(bundle.module, mesh, microbatches=2,
+                                 apply=gn_apply)
+    images = jnp.asarray(rng.rand(16, IMG, IMG, 3).astype(np.float32))
+    ref_s, ref_l = gn_apply(variables, images, train=False)
+    pp_s, pp_l = papply(variables, images)
+    np.testing.assert_allclose(np.asarray(pp_s), np.asarray(ref_s),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pp_l), np.asarray(ref_l),
+                               atol=1e-5)
+
+
 def test_pipeline_validation():
     bundle, variables = _bundle_and_vars()
     with pytest.raises(ValueError, match='model axis of exactly 2'):
