@@ -1,4 +1,8 @@
-# SSD512-VGG16 on COCO (larger input + 80 classes).
+# SSD-VGG16 on COCO at 512x512 with the SSD300 scale ladder (6 scales,
+# min_scale 0.08) and a lighter extras stack -- the reference's 13th
+# sample config (parity: samples/ssd_vgg16_coco.py).  Differs from
+# ssd_512_vgg16_coco in: 4 extras (last 128-wide), 6 anchor scales from
+# 0.08, and 5:1 hard-negative mining.
 seed = 23
 
 model = {
@@ -8,14 +12,14 @@ model = {
         'use_depthwise': False,
         'features': {'name': 'Features', 'out_layers': (32, 42),
                      'last_feature_layer': 42},
-        'extras': {'layers': (('s', 512), ('s', 256), ('s', 256), ('s', 256), ('s', 256))},
+        'extras': {'layers': (('s', 512), ('s', 256), ('s', 256), ('s', 128))},
     },
     'anchor_generator': {
         'type': 'ssd',
-        'num_scales': 7,
-        'min_scale': 0.1,
+        'num_scales': 6,
+        'min_scale': 0.08,
         'max_scale': 1.05,
-        'aspect_ratios': [[1.0, 2.0]] + [[1.0, 2.0, 3.0]] * 4 + [[1.0, 2.0]] * 2,
+        'aspect_ratios': [[1.0, 2.0]] + [[1.0, 2.0, 3.0]] * 3 + [[1.0, 2.0]] * 2,
     },
 }
 
@@ -23,7 +27,7 @@ box_coder = {'xy_scale': 10.0, 'wh_scale': 5.0}
 
 sampler = {
     'name': 'hard_negative_mining',
-    'negative_per_positive_ratio': 3,
+    'negative_per_positive_ratio': 5,
     'min_negative_per_image': 5,
 }
 
@@ -78,7 +82,7 @@ dataset = {
 
 batch_size = 12
 shuffle = True
-num_workers = 3
+num_workers = 4
 
 train = {
     'accumulation_steps': 1,
