@@ -196,6 +196,10 @@ def wait_for_backend(max_wait_s=None, probe_timeout_s=150):
 
 def main():
     wait_for_backend()
+    # persistent compile cache: re-runs skip the minutes-long relay compiles
+    from single_shot_detection_tpu.utils.compile_cache import \
+        enable_compilation_cache
+    enable_compilation_cache()
     on_tpu = jax.devices()[0].platform != 'cpu'
     # bf16 compute on TPU (replaces the reference's apex AMP, env.py:87-95)
     dtype = jnp.bfloat16 if on_tpu else jnp.float32

@@ -57,6 +57,12 @@ def get_argparser():
     parser.add_argument('--profile', type=str, default=None, metavar='DIR',
                         help='Capture a jax.profiler device trace of the '
                              'train phase into DIR (TensorBoard-viewable)')
+    parser.add_argument('--compilation-cache', type=str, default=None,
+                        metavar='DIR|off',
+                        help='Persistent XLA compilation cache location '
+                             '(re-runs skip the minutes-long TPU compiles). '
+                             'Default: on, at ~/.cache/single_shot_detection_tpu/xla; '
+                             '"off" disables')
 
     dist = parser.add_argument_group('distributed (multi-host)')
     dist.add_argument('--coordinator-address', type=str, default=None)
@@ -120,6 +126,7 @@ def main(args):
                             bf16=args.bf16,
                             int8=args.int8,
                             matmul_precision=args.matmul_precision,
+                            compilation_cache=args.compilation_cache,
                             tensorboard=args.tensorboard,
                             process_count=process_count,
                             process_index=process_index)

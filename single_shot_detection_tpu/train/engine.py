@@ -42,6 +42,7 @@ from single_shot_detection_tpu.train.step import (make_eval_step,
                                                   make_fused_train_step,
                                                   make_predict_step,
                                                   make_train_step)
+from single_shot_detection_tpu.utils import compile_cache
 from single_shot_detection_tpu.utils.misc import filter_kwargs
 
 
@@ -141,7 +142,8 @@ class Experiment:
                  seed: Optional[int] = None,
                  process_count: int = 1,
                  process_index: int = 0,
-                 devices=None):
+                 devices=None,
+                 compilation_cache=None):
         self.cfg = cfg
         self.phases = list(phases)
         self.debug = debug
@@ -189,6 +191,18 @@ class Experiment:
         _MATMUL_PRECISION_SET_BY_ENGINE = True
         _ENGINE_LAST_MATMUL_WRITE = requested
         self.matmul_precision = requested
+
+        # Persistent XLA compilation cache (utils/compile_cache.py): on by
+        # default — re-running the same config skips the (minutes-long on
+        # TPU) train-step compile.  Resolution: explicit arg >
+        # cfg.train.compilation_cache > on at the default user-cache path.
+        # Never touched when the user already pointed JAX at a cache dir.
+        cache_req = compilation_cache
+        if cache_req is None:
+            cache_req = (dict(cfg.train or {})).get('compilation_cache')
+        if cache_req is not None or not jax.config.jax_compilation_cache_dir:
+            compile_cache.enable_compilation_cache(
+                True if cache_req is None else cache_req)
 
         input_size = tuple(cfg.input_size)
         self.input_size = input_size

@@ -17,6 +17,16 @@ import jax  # noqa: E402
 # the config-level override wins regardless of import order.
 jax.config.update("jax_platforms", "cpu")
 
+import tempfile  # noqa: E402
+
+# Hermetic persistent-compilation-cache location: the engine enables the
+# cache by default (utils/compile_cache.py), and tests must not write into
+# the user's real ~/.cache.  Pointing JAX at a per-session tmpdir here also
+# exercises the cache path on every engine test.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    tempfile.mkdtemp(prefix="ssd_tpu_test_xla_cache_"))
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
