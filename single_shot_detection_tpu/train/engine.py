@@ -938,6 +938,12 @@ class Experiment:
 
     def _epoch_batches(self, loader, num_batches, epoch):
         """One epoch's batch loop; returns (train-metrics row, step count)."""
+        # pin the loader's shuffle epoch (torch DistributedSampler.set_epoch
+        # analog): the loader self-increments from 0, so a resumed run
+        # (start_epoch > 0) would otherwise replay epoch 0's data order —
+        # breaking the resume==uninterrupted bitwise guarantee
+        # (tests/test_engine.py::test_resume_bitwise_matches_uninterrupted)
+        loader.epoch = epoch
         # metric sums accumulate ON DEVICE (3 tiny async adds per step)
         # and are pulled once per epoch: the true epoch mean (parity:
         # init.py:124-133 running mean) at a cost of ONE host<->device

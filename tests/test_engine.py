@@ -112,6 +112,44 @@ def test_load_weights_only(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_resume_bitwise_matches_uninterrupted(tmp_path):
+    """Interrupt-and-resume equals the uninterrupted run BITWISE: per-step
+    RNG folds from (epoch, step) (engine._epoch_batches), loader shuffling
+    from (seed, epoch) (data/loader.py), and the lr schedule reads the
+    restored optimizer step — so a crash + emergency checkpoint + restart
+    loses nothing.  The scheduler horizon is pinned to a constant so the
+    shorter first leg compiles the same schedule as the straight run."""
+    def make(epochs):
+        cfg = load_config(SMOKE)
+        cfg.config.train['epochs'] = epochs
+        cfg.config.train['eval_every'] = 99
+        cfg.config.train['scheduler'] = {
+            'name': 'CosineAnnealingWithWarmupLR', 'run_each_step': True,
+            'T_max': 8, 'warmup_steps': 4, 'warmup_lr': 1e-4}
+        return cfg
+
+    exp_a = Experiment(make(2), phases=['train'], debug=True)
+    exp_a.train()
+
+    ckdir = str(tmp_path)
+    exp_b = Experiment(make(1), phases=['train'], checkpoint_dir=ckdir,
+                       debug=False)
+    exp_b.save_every = 1
+    exp_b.train()
+    exp_b2 = Experiment(make(2), phases=['train'], resume_from=ckdir,
+                        checkpoint_dir=ckdir, debug=True)
+    assert exp_b2.start_epoch == 1
+    exp_b2.train()
+
+    assert int(exp_a.state.step) == int(exp_b2.state.step)
+    for tree_a, tree_b in ((exp_a.state.params, exp_b2.state.params),
+                           (exp_a.state.batch_stats,
+                            exp_b2.state.batch_stats)):
+        for x, y in zip(jax.tree_util.tree_leaves(tree_a),
+                        jax.tree_util.tree_leaves(tree_b)):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_determinism_same_seed(tmp_path):
     losses = []
     for _ in range(2):
