@@ -324,6 +324,121 @@ def import_reference_checkpoint(path: str,
                            base_path=(), mapping=mapping)
 
 
+def invert_tensor(name: str, value: np.ndarray) -> np.ndarray:
+    """Convert a single flax-layout array back to the torch layout
+    (exact inverse of :func:`convert_tensor`)."""
+    value = np.asarray(value)
+    if value.dtype != np.float32:  # bf16 params aren't a numpy-native dtype
+        value = value.astype(np.float32)
+    if value.ndim == 4:
+        # [kh, kw, in/groups, out] -> [out, in/groups, kh, kw]
+        return value.transpose(3, 2, 0, 1)
+    if value.ndim == 2:
+        return value.transpose(1, 0)
+    return value
+
+
+def export_state_dict(variables: dict,
+                      mapping: Dict[str, Tuple[str, ...]],
+                      base_path: Tuple[str, ...] = (),
+                      ) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`import_backbone`: emit a torch-layout state_dict
+    from our param tree, using the same mapping tables.
+
+    BatchNorm leaves (``scale``/``bias`` + ``batch_stats`` mean/var) become
+    ``weight``/``bias``/``running_mean``/``running_var`` (+
+    ``num_batches_tracked``, required for ``strict=True`` loads); conv and
+    linear kernels transpose back to ``[out, in, kh, kw]`` / ``[out, in]``.
+    Mapping entries with no matching target leaf are skipped (logged) —
+    coverage mirrors the importer's.
+    """
+    import jax
+
+    params = jax.tree_util.tree_map(np.asarray, variables['params'])
+    batch_stats = jax.tree_util.tree_map(np.asarray,
+                                         variables.get('batch_stats', {}))
+
+    def get_subtree(tree, path):
+        for k in path:
+            if not isinstance(tree, dict) or k not in tree:
+                return None
+            tree = tree[k]
+        return tree
+
+    source_params = get_subtree(params, base_path)
+    source_stats = get_subtree(batch_stats, base_path) or {}
+
+    out: Dict[str, np.ndarray] = {}
+    missing = []
+    for torch_prefix, our_path in mapping.items():
+        leaf = get_subtree(source_params, our_path)
+        if leaf is None:
+            missing.append(torch_prefix)
+            continue
+        if 'scale' in leaf:  # BatchNorm
+            out[f'{torch_prefix}.weight'] = invert_tensor(
+                torch_prefix, leaf['scale'])
+            out[f'{torch_prefix}.bias'] = invert_tensor(
+                torch_prefix, leaf['bias'])
+            stats_leaf = get_subtree(source_stats, our_path)
+            mean = (stats_leaf['mean'] if stats_leaf is not None
+                    else np.zeros_like(leaf['scale']))
+            var = (stats_leaf['var'] if stats_leaf is not None
+                   else np.ones_like(leaf['scale']))
+            out[f'{torch_prefix}.running_mean'] = invert_tensor(
+                torch_prefix, mean)
+            out[f'{torch_prefix}.running_var'] = invert_tensor(
+                torch_prefix, var)
+            out[f'{torch_prefix}.num_batches_tracked'] = np.asarray(
+                0, dtype=np.int64)
+        elif 'kernel' in leaf:  # Conv / Linear
+            out[f'{torch_prefix}.weight'] = invert_tensor(
+                torch_prefix, leaf['kernel'])
+            if 'bias' in leaf:
+                out[f'{torch_prefix}.bias'] = invert_tensor(
+                    torch_prefix, leaf['bias'])
+        else:
+            missing.append(torch_prefix)
+    if missing:
+        logging.warning(f'WW torch export: no source leaf for '
+                        f'{missing[:5]}... ({len(missing)} total)')
+    logging.info(f'===> torch export: emitted {len(out)} tensors')
+    return out
+
+
+def export_reference_checkpoint(path: str,
+                                variables: dict,
+                                extras_spec,
+                                num_scales: int,
+                                use_depthwise: bool = False,
+                                backbone: str = 'mobilenet_v2',
+                                epoch: int = 0,
+                                global_step: int = 0) -> str:
+    """Inverse of :func:`import_reference_checkpoint`: write a checkpoint
+    the reference stack loads AS-IS (``torch.save`` of a global_state with
+    ``model_dict`` — bf/training/callbacks.py:69-73, consumed by
+    helpers.py:44-66) so a model trained on TPU can be served or
+    fine-tuned by an existing torch deployment.  Scope mirrors the
+    importer: SSD-family detectors (backbone + Features + extras + heads)
+    over the mobilenet/vgg backbones ``reference_backbone_mapping`` knows.
+    """
+    import torch
+    mapping = reference_detector_mapping(
+        extras_spec, num_scales, use_depthwise,
+        backbone_mapping=reference_backbone_mapping(backbone))
+    sd = export_state_dict(variables, mapping, base_path=())
+    payload = {
+        'model_dict': {k: torch.from_numpy(np.array(v))  # writable copy
+                       for k, v in sd.items()},
+        'epoch': int(epoch),
+        'global_step': int(global_step),
+    }
+    torch.save(payload, path)
+    logging.info(f'===> wrote reference-format checkpoint {path} '
+                 f'({len(sd)} tensors)')
+    return path
+
+
 def resolve_mapping(backbone_name: str) -> Dict[str, Tuple[str, ...]]:
     """torch state_dict prefix -> our param path, for any registry backbone."""
     if backbone_name.startswith('torchvision_vgg'):

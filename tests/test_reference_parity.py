@@ -467,3 +467,74 @@ def test_reference_detector_checkpoint_import_layout(rng, tmp_path):
         {'params': new_vars['params'], 'batch_stats': new_vars['batch_stats']},
         jnp.ones((1, 96, 96, 3)), train=False)
     assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_export_strict_loads_into_reference_detector(rng):
+    """The reverse migration path: torch_import.export_reference_checkpoint's
+    state_dict strict-loads into the ACTUAL reference Detector
+    (detection/detector_builder.py build) and the two frameworks' forwards
+    agree on the same weights — a TPU-trained model can be served by an
+    existing torch deployment unchanged."""
+    ref_mbv2 = _import_ref('bf.base.mobilenet_v2')
+    det_builder = _import_ref('detection.detector_builder')
+    # the reference targets torch ~1.1: torch.jit.scope is a tracing
+    # nicety absent from modern torch (same stub as tools/parity_run.py)
+    import contextlib
+    if not hasattr(torch.jit, 'scope'):
+        torch.jit.scope = lambda *_a, **_k: contextlib.nullcontext()
+    import jax
+    from single_shot_detection_tpu.models import builder
+    from single_shot_detection_tpu.utils import torch_import
+
+    extras_spec = (('s', 128),)
+    bundle = builder.build(
+        base={'name': 'mobilenet_v2', 'depth_multiplier': 0.35},
+        anchor_generator={'type': 'ssd', 'num_scales': 3, 'min_scale': 0.15,
+                          'max_scale': 0.95,
+                          'aspect_ratios': [[1.0, 2.0]] * 3},
+        num_classes=5, use_depthwise=True,
+        features={'name': 'Features', 'out_layers': (13, 18)},
+        extras={'layers': extras_spec}, input_size=(96, 96))
+    variables = bundle.init(jax.random.PRNGKey(7))
+    # randomize running stats so the exported running_mean/var do real work
+    gen = np.random.RandomState(13)
+    variables = {
+        'params': variables['params'],
+        'batch_stats': jax.tree_util.tree_map(
+            lambda x: jnp.asarray(
+                gen.rand(*x.shape).astype(np.float32) * 0.5 +
+                (0.5 if x.sum() else 0.0)),  # var-like leaves stay positive
+            variables['batch_stats']),
+    }
+
+    mapping = torch_import.reference_detector_mapping(
+        extras_spec, num_scales=3, use_depthwise=True)
+    sd = torch_import.export_state_dict(variables, mapping, base_path=())
+
+    base = ref_mbv2.MobileNetV2(depth_multiplier=0.35, include_top=False,
+                                init_weights=False)
+    ref = det_builder.build(
+        base=base,
+        anchor_generator_params={'type': 'ssd', 'num_scales': 3,
+                                 'min_scale': 0.15, 'max_scale': 0.95,
+                                 'aspect_ratios': [[1.0, 2.0]] * 3},
+        num_classes=5,
+        features={'name': 'Features', 'out_layers': [13, 18]},
+        use_depthwise=True,
+        extras={'layers': [('s', 128)]})
+    ref.load_state_dict({k: torch.from_numpy(np.array(v))
+                         for k, v in sd.items()}, strict=True)
+    ref.eval()
+
+    x = rng.rand(2, 96, 96, 3).astype(np.float32)
+    with torch.no_grad():
+        scores_t, locs_t, _ = ref.predictor(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    ours_scores, ours_locs = bundle.module.apply(
+        variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(
+        np.asarray(ours_scores).reshape(2, -1), scores_t.numpy(),
+        rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(ours_locs).reshape(2, -1), locs_t.numpy(),
+        rtol=1e-3, atol=1e-4)

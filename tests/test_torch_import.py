@@ -267,3 +267,83 @@ def test_reference_detector_mapping_vgg_and_mbv1():
         ('features', 'base', 'stage0_conv')
     assert m1['predictor.features.base.7.pointwise_conv'] == \
         ('features', 'base', 'stage7', 'pointwise_conv')
+
+
+def _tiny_detector():
+    extras_spec = (('s', 128),)
+    bundle = builder.build(
+        base={'name': 'mobilenet_v2', 'depth_multiplier': 0.35},
+        anchor_generator={'type': 'ssd', 'num_scales': 3, 'min_scale': 0.15,
+                          'max_scale': 0.95,
+                          'aspect_ratios': [[1.0, 2.0]] * 3},
+        num_classes=5, use_depthwise=True,
+        features={'name': 'Features', 'out_layers': (13, 18)},
+        extras={'layers': extras_spec}, input_size=(96, 96))
+    return bundle, extras_spec
+
+
+def test_export_state_dict_roundtrips_bitwise():
+    """export_state_dict is the exact inverse of import_backbone: exporting
+    a randomly initialized detector and importing the result into a
+    DIFFERENT random init reproduces the original params + batch_stats
+    bitwise (full-detector reference mapping: backbone, extras, heads)."""
+    bundle, extras_spec = _tiny_detector()
+    variables = bundle.init(jax.random.PRNGKey(0))
+    mapping = torch_import.reference_detector_mapping(
+        extras_spec, num_scales=3, use_depthwise=True)
+
+    sd = torch_import.export_state_dict(variables, mapping, base_path=())
+    assert any(k.startswith('predictor.features.base.') for k in sd)
+    assert 'predictor.heads.0.score.weight' in sd
+    assert 'predictor.heads.0.score.bias' in sd
+    # torch layouts
+    kh, kw, cin, cout = np.asarray(
+        variables['params']['score_head0']['kernel']).shape
+    assert sd['predictor.heads.0.score.weight'].shape == (cout, cin, kh, kw)
+
+    other = bundle.init(jax.random.PRNGKey(1))
+    back = torch_import.import_backbone(sd, other, 'roundtrip',
+                                        base_path=(), mapping=mapping)
+
+    want_p = jax.tree_util.tree_leaves_with_path(variables['params'])
+    got_p = dict(jax.tree_util.tree_leaves_with_path(back['params']))
+    mismatched = [jax.tree_util.keystr(path) for path, leaf in want_p
+                  if not np.array_equal(np.asarray(leaf),
+                                        np.asarray(got_p[path]))]
+    assert not mismatched, f'params did not roundtrip: {mismatched[:10]}'
+    want_s = jax.tree_util.tree_leaves_with_path(variables['batch_stats'])
+    got_s = dict(jax.tree_util.tree_leaves_with_path(back['batch_stats']))
+    for path, leaf in want_s:
+        np.testing.assert_array_equal(np.asarray(leaf),
+                                      np.asarray(got_s[path]))
+
+
+def test_export_reference_checkpoint_file(tmp_path):
+    """export_reference_checkpoint writes a torch.load-able global_state
+    whose model_dict import_reference_checkpoint maps straight back."""
+    bundle, extras_spec = _tiny_detector()
+    variables = bundle.init(jax.random.PRNGKey(2))
+    path = str(tmp_path / 'ckpt-7.pt')
+    torch_import.export_reference_checkpoint(
+        path, variables, extras_spec=extras_spec, num_scales=3,
+        use_depthwise=True, backbone='mobilenet_v2', epoch=3, global_step=7)
+
+    payload = torch.load(path, map_location='cpu', weights_only=False)
+    assert payload['epoch'] == 3 and payload['global_step'] == 7
+    assert all(isinstance(v, torch.Tensor)
+               for v in payload['model_dict'].values())
+    # BN strict-load keys are present
+    assert 'predictor.extras.0.0.bn.num_batches_tracked' in payload['model_dict']
+
+    other = bundle.init(jax.random.PRNGKey(3))
+    back = torch_import.import_reference_checkpoint(
+        path, other, extras_spec=extras_spec, num_scales=3,
+        use_depthwise=True)
+    np.testing.assert_array_equal(
+        np.asarray(variables['params']['score_head0']['kernel']),
+        np.asarray(back['params']['score_head0']['kernel']))
+    np.testing.assert_array_equal(
+        np.asarray(variables['params']['features']['base']['stage3']
+                   ['expand_conv']['kernel']),
+        np.asarray(back['params']['features']['base']['stage3']
+                   ['expand_conv']['kernel']))
