@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import functools
 import logging
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -236,20 +236,85 @@ def mobilenet_v2_reference_mapping() -> Dict[str, Tuple[str, ...]]:
     return m
 
 
+def resnet_reference_mapping(layers) -> Dict[str, Tuple[str, ...]]:
+    """The reference wraps torchvision ResNets into an index-keyed
+    ``features`` Sequential (base_builder.py:10-26 _resnet_wrapper:
+    conv1, bn1, relu, maxpool, layer1..4 -> indices 0..7), so its
+    checkpoint keys are ``{idx}.{block}.{leaf}``."""
+    m: Dict[str, Tuple[str, ...]] = {'0': ('conv1',), '1': ('bn1',)}
+    for li, count in enumerate(layers, start=1):
+        idx = li + 3  # layer1 lands at Sequential index 4
+        for b in range(count):
+            base = f'{idx}.{b}'
+            ours = f'layer{li}_{b}'
+            for name in ('conv1', 'bn1', 'conv2', 'bn2', 'conv3', 'bn3'):
+                m[f'{base}.{name}'] = (ours, name)
+            m[f'{base}.downsample.0'] = (ours, 'downsample_conv')
+            m[f'{base}.downsample.1'] = (ours, 'downsample_bn')
+    return m
+
+
+def fpn_reference_mapping(num_laterals: int,
+                          pyramid_layers: int) -> Dict[str, Tuple[str, ...]]:
+    """FeaturePyramid neck (bf/modules/features.py:52-120): plain-Conv2d
+    laterals + Conv2dBn output convs.  Keys are relative to the neck
+    (``predictor.features.`` in a detector checkpoint)."""
+    m: Dict[str, Tuple[str, ...]] = {}
+    for i in range(num_laterals):
+        m[f'pyramid_lateral.{i}'] = (f'lateral{i}',)
+    for i in range(pyramid_layers):
+        m[f'pyramid_output.{i}.conv'] = (f'output{i}', 'conv')
+        m[f'pyramid_output.{i}.bn'] = (f'output{i}', 'bn')
+    return m
+
+
+def shared_predictor_reference_mapping(num_layers: int,
+                                       num_levels: int,
+                                       use_depthwise: bool = False,
+                                       ) -> Dict[str, Tuple[str, ...]]:
+    """SharedConvPredictor towers (detection/modules/predictors.py:8-76):
+    per-head conv stacks shared across levels (``convs.{head}.{l}``,
+    Conv2dBn/DepthwiseConv2dBn with use_bn=False) + per-level un-shared
+    BatchNorms (``norms.{head}.{l}.{s}``).  Keys are relative to the
+    predictor (``predictor.predictor.`` in a detector checkpoint)."""
+    m: Dict[str, Tuple[str, ...]] = {}
+    for head in ('score', 'loc'):
+        for l in range(num_layers):
+            if use_depthwise:
+                for leaf in ('depthwise_conv', 'pointwise_conv'):
+                    m[f'convs.{head}.{l}.{leaf}'] = (f'{head}_conv{l}', leaf)
+            else:
+                m[f'convs.{head}.{l}.conv'] = (f'{head}_conv{l}', 'conv')
+            for s in range(num_levels):
+                m[f'norms.{head}.{l}.{s}'] = (f'{head}_norm{l}_{s}',)
+    return m
+
+
 def reference_detector_mapping(extras_spec,
                                num_scales: int,
                                use_depthwise: bool = False,
                                backbone_mapping: Dict[str, Tuple[str, ...]] = None,
+                               fpn: Optional[dict] = None,
+                               predictor: Optional[dict] = None,
                                ) -> Dict[str, Tuple[str, ...]]:
     """FULL-detector mapping for a reference training checkpoint
     (``model_dict`` of detection/detector.py's Detector): backbone +
-    SSD extras + score/loc heads.  Lets a reference-trained model be
-    imported and served/fine-tuned by this framework.
+    neck (Features or FeaturePyramid) + SSD extras + optional
+    SharedConvPredictor towers + score/loc heads.  Lets a reference-trained
+    model be imported and served/fine-tuned by this framework (and the
+    reverse, via :func:`export_state_dict`).
 
     Reference layout: ``predictor.features.base.<backbone>``,
+    ``predictor.features.pyramid_{lateral,output}.*`` (FeaturePyramid),
     ``predictor.extras.{j}.{0,1}.<Conv2dBn|DepthwiseConv2dBn leaves>``
-    (detector_builder.py:57-109), ``predictor.heads.{i}.{score,loc}``
+    (detector_builder.py:57-109), ``predictor.predictor.{convs,norms}.*``
+    (SharedConvPredictor), ``predictor.heads.{i}.{score,loc}``
     (detector_builder.py:111-137).
+
+    ``fpn``: ``{'num_laterals': n, 'pyramid_layers': m}`` when the neck is
+    a FeaturePyramid.  ``predictor``: ``{'num_layers': l}`` (+ optional
+    ``use_depthwise``) when SharedConvPredictor towers are configured —
+    levels default to ``num_scales``.
     """
     if backbone_mapping is None:
         backbone_mapping = mobilenet_v2_reference_mapping()
@@ -261,6 +326,17 @@ def reference_detector_mapping(extras_spec,
         # ``features`` level
         k = k[len('features.'):] if k.startswith('features.') else k
         m[f'predictor.features.base.{k}'] = ('features', 'base') + tuple(path)
+    if fpn:
+        for k, path in fpn_reference_mapping(
+                int(fpn['num_laterals']),
+                int(fpn['pyramid_layers'])).items():
+            m[f'predictor.features.{k}'] = ('features',) + tuple(path)
+    if predictor:
+        for k, path in shared_predictor_reference_mapping(
+                int(predictor['num_layers']),
+                int(predictor.get('num_levels', num_scales)),
+                bool(predictor.get('use_depthwise', use_depthwise))).items():
+            m[f'predictor.predictor.{k}'] = ('predictor',) + tuple(path)
     for j, (type_, _out) in enumerate(extras_spec):
         if type_ == 'm':  # maxpool — no params
             continue
@@ -303,8 +379,14 @@ def reference_backbone_mapping(backbone: str) -> Dict[str, Tuple[str, ...]]:
         from single_shot_detection_tpu.models.vgg import VGG_CONFIGS
         depth = int(''.join(ch for ch in backbone if ch.isdigit()))
         return vgg_mapping(VGG_CONFIGS[depth], bn=backbone.endswith('_bn'))
+    if 'resnet' in backbone or 'resnext' in backbone:
+        import re
+        from single_shot_detection_tpu.models.resnet import RESNET_CONFIGS
+        depth = int(re.search(r'(?:resnet|resnext)(\d+)', backbone)[1])
+        return resnet_reference_mapping(RESNET_CONFIGS[depth]['layers'])
     raise KeyError(f'No reference-checkpoint mapping for backbone '
-                   f'{backbone!r} (supported: mobilenet v1/v2, vgg)')
+                   f'{backbone!r} (supported: mobilenet v1/v2, vgg, '
+                   f'resnet/resnext)')
 
 
 def import_reference_checkpoint(path: str,
@@ -312,13 +394,16 @@ def import_reference_checkpoint(path: str,
                                 extras_spec,
                                 num_scales: int,
                                 use_depthwise: bool = False,
-                                backbone: str = 'mobilenet_v2') -> dict:
+                                backbone: str = 'mobilenet_v2',
+                                fpn: Optional[dict] = None,
+                                predictor: Optional[dict] = None) -> dict:
     """Load a reference training checkpoint (``ckpt-N.pt`` from
     /root/reference main.py — pickled global_state with ``model_dict``)
     into our detector variables."""
     mapping = reference_detector_mapping(
         extras_spec, num_scales, use_depthwise,
-        backbone_mapping=reference_backbone_mapping(backbone))
+        backbone_mapping=reference_backbone_mapping(backbone),
+        fpn=fpn, predictor=predictor)
     sd = load_torch_state_dict(path)
     return import_backbone(sd, variables, 'reference_detector',
                            base_path=(), mapping=mapping)
@@ -413,19 +498,23 @@ def export_reference_checkpoint(path: str,
                                 use_depthwise: bool = False,
                                 backbone: str = 'mobilenet_v2',
                                 epoch: int = 0,
-                                global_step: int = 0) -> str:
+                                global_step: int = 0,
+                                fpn: Optional[dict] = None,
+                                predictor: Optional[dict] = None) -> str:
     """Inverse of :func:`import_reference_checkpoint`: write a checkpoint
     the reference stack loads AS-IS (``torch.save`` of a global_state with
     ``model_dict`` — bf/training/callbacks.py:69-73, consumed by
     helpers.py:44-66) so a model trained on TPU can be served or
     fine-tuned by an existing torch deployment.  Scope mirrors the
-    importer: SSD-family detectors (backbone + Features + extras + heads)
-    over the mobilenet/vgg backbones ``reference_backbone_mapping`` knows.
+    importer: SSD- and Retina-family detectors (backbone + Features/
+    FeaturePyramid + extras + SharedConvPredictor towers + heads) over the
+    mobilenet/vgg/resnet backbones ``reference_backbone_mapping`` knows.
     """
     import torch
     mapping = reference_detector_mapping(
         extras_spec, num_scales, use_depthwise,
-        backbone_mapping=reference_backbone_mapping(backbone))
+        backbone_mapping=reference_backbone_mapping(backbone),
+        fpn=fpn, predictor=predictor)
     sd = export_state_dict(variables, mapping, base_path=())
     payload = {
         'model_dict': {k: torch.from_numpy(np.array(v))  # writable copy

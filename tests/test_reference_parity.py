@@ -538,3 +538,68 @@ def test_export_strict_loads_into_reference_detector(rng):
     np.testing.assert_allclose(
         np.asarray(ours_locs).reshape(2, -1), locs_t.numpy(),
         rtol=1e-3, atol=1e-4)
+
+
+def test_export_retina_family_strict_loads_into_reference(rng):
+    """Retina-family reverse migration: FPN neck + SharedConvPredictor
+    towers export alongside the backbone/heads (fpn= / predictor= mapping
+    extensions) and the result strict-loads into the reference Detector
+    built from the same config geometry, with forward agreement."""
+    ref_mb1 = _import_ref('bf.base.mobilenet')
+    det_builder = _import_ref('detection.detector_builder')
+    import contextlib
+    if not hasattr(torch.jit, 'scope'):
+        torch.jit.scope = lambda *_a, **_k: contextlib.nullcontext()
+    import jax
+    from single_shot_detection_tpu.models import builder
+    from single_shot_detection_tpu.utils import torch_import
+
+    detector_kw = dict(
+        num_classes=5, use_depthwise=False,
+        features={'name': 'FeaturePyramid', 'out_layers': (5, 11, 13),
+                  'pyramid_layers': 4, 'pyramid_channels': 64},
+        heads={'score_head_bias_init': -4.6})
+    anchor_kw = {'type': 'retina_net', 'min_level': 3, 'max_level': 6,
+                 'aspect_ratios': [1.0, 2.0, 0.5], 'scale': 4.0,
+                 'scales_per_level': 2}
+    bundle = builder.build(
+        base={'name': 'mobilenet_050'},
+        anchor_generator=anchor_kw,
+        predictor={'num_layers': 2, 'num_channels': 64, 'kernel_size': 3},
+        input_size=(128, 128), **detector_kw)
+    variables = bundle.init(jax.random.PRNGKey(21))
+
+    mapping = torch_import.reference_detector_mapping(
+        (), num_scales=4, use_depthwise=False,
+        backbone_mapping=torch_import.reference_backbone_mapping(
+            'mobilenet_050'),
+        fpn={'num_laterals': 3, 'pyramid_layers': 4},
+        predictor={'num_layers': 2})
+    sd = torch_import.export_state_dict(variables, mapping, base_path=())
+    assert 'predictor.features.pyramid_lateral.0.weight' in sd
+    assert 'predictor.predictor.convs.score.0.conv.weight' in sd
+    assert 'predictor.predictor.norms.loc.1.3.running_var' in sd
+
+    base = ref_mb1.MobileNet(depth_multiplier=0.5, include_top=False,
+                             init_weights=False)
+    ref = det_builder.build(
+        base=base,
+        anchor_generator_params=anchor_kw,
+        predictor={'num_layers': 2, 'num_channels': 64, 'kernel_size': 3},
+        **detector_kw)
+    ref.load_state_dict({k: torch.from_numpy(np.array(v))
+                         for k, v in sd.items()}, strict=True)
+    ref.eval()
+
+    x = rng.rand(2, 128, 128, 3).astype(np.float32)
+    with torch.no_grad():
+        scores_t, locs_t, _ = ref.predictor(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    ours_scores, ours_locs = bundle.module.apply(
+        variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(
+        np.asarray(ours_scores).reshape(2, -1), scores_t.numpy(),
+        rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(ours_locs).reshape(2, -1), locs_t.numpy(),
+        rtol=1e-3, atol=1e-4)
