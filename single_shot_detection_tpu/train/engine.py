@@ -531,14 +531,11 @@ class Experiment:
         # converted layout-wise by utils/torch_import.py)
         base_cfg = dict(model_cfg.get('base', {}))
         base_weight = base_cfg.get('weight')
-        if base_weight:
-            from single_shot_detection_tpu.utils import torch_import
-            sd = torch_import.load_torch_state_dict(base_weight)
-            new_vars = torch_import.import_backbone(
-                sd,
-                {'params': self.state.params,
-                 'batch_stats': self.state.batch_stats},
-                base_cfg['name'])
+
+        def _adopt_imported(new_vars):
+            """Install torch-imported variables: cast to the state's
+            dtypes, keep the replicated placement, reseed the EMA shadow
+            (it was a copy of the random init)."""
             cast = functools.partial(jax.tree_util.tree_map,
                                      lambda n, o: jnp.asarray(n, o.dtype))
             self.state = self.state.replace(
@@ -549,17 +546,39 @@ class Experiment:
                     cast(new_vars.get('batch_stats', self.state.batch_stats),
                          self.state.batch_stats), self._replicated))
             if self.ema_decay is not None:
-                # reseed the shadow from the imported weights (it was a
-                # copy of the random init) — as a copy, for step donation
+                # as a copy, for step donation
                 self.state = self.state.replace(
                     ema_params=jax.tree_util.tree_map(jnp.array,
                                                       self.state.params))
+
+        if base_weight:
+            from single_shot_detection_tpu.utils import torch_import
+            sd = torch_import.load_torch_state_dict(base_weight)
+            _adopt_imported(torch_import.import_backbone(
+                sd,
+                {'params': self.state.params,
+                 'batch_stats': self.state.batch_stats},
+                base_cfg['name']))
         elif base_cfg.get('pretrained'):
             logging.warning(
                 'WW base.pretrained=True cannot download torchvision weights '
                 'in an egress-free environment; set base.weight=<path to a '
                 'torch state_dict> to load pretrained weights '
                 '(utils/torch_import.py) — training from scratch')
+
+        # full-detector reference torch checkpoint (``detector.torch_weight``
+        # — a ckpt-N.pt from the reference's main.py): the whole model —
+        # backbone, neck, extras, predictor towers, heads — imports via the
+        # config-derived mapping (utils/torch_import.py); the reverse is
+        # tools/export_torch_ckpt.py
+        torch_weight = detector_cfg.get('torch_weight')
+        if torch_weight:
+            from single_shot_detection_tpu.utils import torch_import
+            _adopt_imported(torch_import.import_reference_checkpoint(
+                torch_weight,
+                {'params': self.state.params,
+                 'batch_stats': self.state.batch_stats},
+                **torch_import.mapping_args_from_config(model_cfg)))
 
         weight_file = detector_cfg.get('weight')
         restored_any = False

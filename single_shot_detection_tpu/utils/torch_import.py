@@ -528,6 +528,34 @@ def export_reference_checkpoint(path: str,
     return path
 
 
+def mapping_args_from_config(model_cfg: dict) -> dict:
+    """Derive :func:`import_reference_checkpoint` /
+    :func:`export_reference_checkpoint` kwargs from a config's ``model``
+    dict (the declarative schema both frameworks share) — so a reference
+    checkpoint can be loaded/written given nothing but the config."""
+    detector_cfg = dict(model_cfg.get('detector', {}))
+    base_name = dict(model_cfg.get('base', {})).get('name', 'mobilenet_v2')
+    backbone = base_name[len('torchvision_'):] \
+        if base_name.startswith('torchvision_') else base_name
+    extras_spec = tuple(dict(detector_cfg.get('extras', {}))
+                        .get('layers', ()))
+    features_cfg = dict(detector_cfg.get('features', {}))
+    fpn = None
+    if features_cfg.get('name') == 'FeaturePyramid':
+        fpn = {'num_laterals': len(features_cfg.get('out_layers', ())),
+               'pyramid_layers': int(features_cfg['pyramid_layers'])}
+    predictor_cfg = detector_cfg.get('predictor')
+    predictor = ({'num_layers': int(predictor_cfg.get('num_layers', 0))}
+                 if predictor_cfg else None)
+    num_sources = (fpn['pyramid_layers'] if fpn
+                   else len(features_cfg.get('out_layers', ())))
+    num_scales = int(dict(model_cfg.get('anchor_generator', {})).get(
+        'num_scales', num_sources + len(extras_spec)))
+    return dict(extras_spec=extras_spec, num_scales=num_scales,
+                use_depthwise=bool(detector_cfg.get('use_depthwise', False)),
+                backbone=backbone, fpn=fpn, predictor=predictor)
+
+
 def resolve_mapping(backbone_name: str) -> Dict[str, Tuple[str, ...]]:
     """torch state_dict prefix -> our param path, for any registry backbone."""
     if backbone_name.startswith('torchvision_vgg'):

@@ -952,3 +952,39 @@ def test_engine_zero_sharding_trains_and_resumes(tmp_path):
         rows2 = exp2.train()
         assert np.isfinite(rows2[-1]['train_loss'])
     np.testing.assert_allclose(results[0], results[1], rtol=2e-4)
+
+
+def test_torch_weight_full_detector_import(tmp_path):
+    """``model.detector.torch_weight`` loads a reference-format torch
+    checkpoint (ckpt-N.pt) into the whole detector at Experiment build —
+    the CLI/config face of utils.torch_import.import_reference_checkpoint."""
+    from single_shot_detection_tpu.utils import torch_import
+
+    cfg = load_config(SMOKE)
+    exp = Experiment(cfg, phases=['eval'], debug=True)
+    variables = {
+        'params': jax.device_get(exp.state.params),
+        'batch_stats': jax.device_get(exp.state.batch_stats),
+    }
+    # perturb a head kernel so the import is distinguishable from the
+    # (same-seed) fresh init
+    k = np.asarray(variables['params']['score_head0']['kernel'])
+    variables['params']['score_head0']['kernel'] = k + 1.25
+
+    pt = tmp_path / 'ckpt-3.pt'
+    torch_import.export_reference_checkpoint(
+        str(pt), variables, global_step=3,
+        **torch_import.mapping_args_from_config(cfg.model))
+
+    cfg2 = load_config(SMOKE)
+    cfg2.config.model['detector']['torch_weight'] = str(pt)
+    exp2 = Experiment(cfg2, phases=['eval'], debug=True)
+    np.testing.assert_allclose(
+        np.asarray(exp2.state.params['score_head0']['kernel']), k + 1.25,
+        rtol=0, atol=0)
+    # a backbone leaf came through too
+    np.testing.assert_array_equal(
+        np.asarray(exp2.state.params['features']['base']['stage3']
+                   ['expand_conv']['kernel']),
+        np.asarray(variables['params']['features']['base']['stage3']
+                   ['expand_conv']['kernel']))

@@ -93,32 +93,11 @@ def main():
         with open(path + '.meta.json') as f:
             meta.update(json.load(f))
 
-    base_name = model_cfg['base']['name']
-    backbone = base_name[len('torchvision_'):] \
-        if base_name.startswith('torchvision_') else base_name
-    extras_spec = tuple(detector_cfg.get('extras', {}).get('layers', ()))
-    features_cfg = dict(detector_cfg.get('features', {}))
-    fpn = None
-    if features_cfg.get('name') == 'FeaturePyramid':
-        fpn = {'num_laterals': len(features_cfg.get('out_layers', ())),
-               'pyramid_layers': int(features_cfg['pyramid_layers'])}
-    predictor_cfg = detector_cfg.get('predictor')
-    predictor = ({'num_layers': int(predictor_cfg.get('num_layers', 0))}
-                 if predictor_cfg else None)
-    num_sources = (fpn['pyramid_layers'] if fpn
-                   else len(features_cfg.get('out_layers', ())))
-    num_scales = int(model_cfg['anchor_generator'].get(
-        'num_scales', num_sources + len(extras_spec)))
-
     torch_import.export_reference_checkpoint(
         args.output, variables,
-        extras_spec=extras_spec,
-        num_scales=num_scales,
-        use_depthwise=bool(detector_cfg.get('use_depthwise', False)),
-        backbone=backbone,
         epoch=int(meta.get('epoch', 0)),
         global_step=int(meta.get('global_step', 0)),
-        fpn=fpn, predictor=predictor)
+        **torch_import.mapping_args_from_config(model_cfg))
     print(f'>> wrote {args.output} (reference torch checkpoint, '
           f'step {meta.get("global_step", 0)})')
 
