@@ -268,6 +268,50 @@ def fpn_reference_mapping(num_laterals: int,
     return m
 
 
+def _convbn_entries(torch_prefix: str, our_path: Tuple[str, ...],
+                    use_depthwise: bool = False) -> Dict[str, Tuple[str, ...]]:
+    """Mapping entries for one Conv2dBn / DepthwiseConv2dBn block."""
+    if use_depthwise:
+        return {f'{torch_prefix}.{leaf}': our_path + (leaf,)
+                for leaf in ('depthwise_conv', 'depthwise_bn',
+                             'pointwise_conv', 'pointwise_bn')}
+    return {f'{torch_prefix}.conv': our_path + ('conv',),
+            f'{torch_prefix}.bn': our_path + ('bn',)}
+
+
+def mlfpn_reference_mapping(num_out_layers: int,
+                            num_scales: int,
+                            num_tums: int,
+                            use_depthwise: bool = False,
+                            ) -> Dict[str, Tuple[str, ...]]:
+    """M2Det MultilevelFeaturePyramid (bf/modules/features.py:303-400):
+    base reducers -> TUM chain (+ per-TUM base reducers) -> SFAM gates.
+    Keys are relative to the neck (``predictor.features.`` in a detector
+    checkpoint).  Index correspondence: reference ``down_layers.{j}`` /
+    ``up_layers.{j}`` are built for scale i=j+1 (our ``down{i}``/``up{i}``),
+    ``smooth_layers.{j}`` matches our ``smooth{j}`` (both deepest-first at
+    apply time), ``reducers.{t}`` feeds TUM t+1 (our ``reducer{t+1}``)."""
+    m: Dict[str, Tuple[str, ...]] = {}
+    for i in range(num_out_layers):
+        m.update(_convbn_entries(f'base_reducers.{i}', (f'base_reducer{i}',)))
+    for t in range(num_tums):
+        for i in range(1, num_scales):
+            m.update(_convbn_entries(f'tums.{t}.down_layers.{i - 1}',
+                                     (f'tum{t}', f'down{i}'), use_depthwise))
+            m.update(_convbn_entries(f'tums.{t}.up_layers.{i - 1}',
+                                     (f'tum{t}', f'up{i}'), use_depthwise))
+        for j in range(num_scales):
+            m.update(_convbn_entries(f'tums.{t}.smooth_layers.{j}',
+                                     (f'tum{t}', f'smooth{j}'),
+                                     use_depthwise))
+    for t in range(1, num_tums):
+        m.update(_convbn_entries(f'reducers.{t - 1}', (f'reducer{t}',)))
+    for s in range(num_scales):
+        m[f'sfam.fc1.{s}'] = ('sfam', f'fc1_{s}')
+        m[f'sfam.fc2.{s}'] = ('sfam', f'fc2_{s}')
+    return m
+
+
 def shared_predictor_reference_mapping(num_layers: int,
                                        num_levels: int,
                                        use_depthwise: bool = False,
@@ -295,6 +339,7 @@ def reference_detector_mapping(extras_spec,
                                use_depthwise: bool = False,
                                backbone_mapping: Dict[str, Tuple[str, ...]] = None,
                                fpn: Optional[dict] = None,
+                               mlfpn: Optional[dict] = None,
                                predictor: Optional[dict] = None,
                                ) -> Dict[str, Tuple[str, ...]]:
     """FULL-detector mapping for a reference training checkpoint
@@ -330,6 +375,13 @@ def reference_detector_mapping(extras_spec,
         for k, path in fpn_reference_mapping(
                 int(fpn['num_laterals']),
                 int(fpn['pyramid_layers'])).items():
+            m[f'predictor.features.{k}'] = ('features',) + tuple(path)
+    if mlfpn:
+        for k, path in mlfpn_reference_mapping(
+                int(mlfpn['num_out_layers']),
+                int(mlfpn['num_scales']),
+                int(mlfpn['num_tums']),
+                bool(mlfpn.get('use_depthwise', use_depthwise))).items():
             m[f'predictor.features.{k}'] = ('features',) + tuple(path)
     if predictor:
         for k, path in shared_predictor_reference_mapping(
@@ -396,6 +448,7 @@ def import_reference_checkpoint(path: str,
                                 use_depthwise: bool = False,
                                 backbone: str = 'mobilenet_v2',
                                 fpn: Optional[dict] = None,
+                                mlfpn: Optional[dict] = None,
                                 predictor: Optional[dict] = None) -> dict:
     """Load a reference training checkpoint (``ckpt-N.pt`` from
     /root/reference main.py — pickled global_state with ``model_dict``)
@@ -403,7 +456,7 @@ def import_reference_checkpoint(path: str,
     mapping = reference_detector_mapping(
         extras_spec, num_scales, use_depthwise,
         backbone_mapping=reference_backbone_mapping(backbone),
-        fpn=fpn, predictor=predictor)
+        fpn=fpn, mlfpn=mlfpn, predictor=predictor)
     sd = load_torch_state_dict(path)
     return import_backbone(sd, variables, 'reference_detector',
                            base_path=(), mapping=mapping)
@@ -500,6 +553,7 @@ def export_reference_checkpoint(path: str,
                                 epoch: int = 0,
                                 global_step: int = 0,
                                 fpn: Optional[dict] = None,
+                                mlfpn: Optional[dict] = None,
                                 predictor: Optional[dict] = None) -> str:
     """Inverse of :func:`import_reference_checkpoint`: write a checkpoint
     the reference stack loads AS-IS (``torch.save`` of a global_state with
@@ -514,7 +568,7 @@ def export_reference_checkpoint(path: str,
     mapping = reference_detector_mapping(
         extras_spec, num_scales, use_depthwise,
         backbone_mapping=reference_backbone_mapping(backbone),
-        fpn=fpn, predictor=predictor)
+        fpn=fpn, mlfpn=mlfpn, predictor=predictor)
     sd = export_state_dict(variables, mapping, base_path=())
     payload = {
         'model_dict': {k: torch.from_numpy(np.array(v))  # writable copy
@@ -541,19 +595,29 @@ def mapping_args_from_config(model_cfg: dict) -> dict:
                         .get('layers', ()))
     features_cfg = dict(detector_cfg.get('features', {}))
     fpn = None
+    mlfpn = None
     if features_cfg.get('name') == 'FeaturePyramid':
         fpn = {'num_laterals': len(features_cfg.get('out_layers', ())),
                'pyramid_layers': int(features_cfg['pyramid_layers'])}
+    elif features_cfg.get('name') == 'MultilevelFeaturePyramid':
+        mlfpn = {'num_out_layers': len(features_cfg.get('out_layers', ())),
+                 'num_scales': int(features_cfg['num_scales']),
+                 'num_tums': int(features_cfg['num_tums'])}
     predictor_cfg = detector_cfg.get('predictor')
     predictor = ({'num_layers': int(predictor_cfg.get('num_layers', 0))}
                  if predictor_cfg else None)
-    num_sources = (fpn['pyramid_layers'] if fpn
-                   else len(features_cfg.get('out_layers', ())))
+    if fpn:
+        num_sources = fpn['pyramid_layers']
+    elif mlfpn:
+        num_sources = mlfpn['num_scales']
+    else:
+        num_sources = len(features_cfg.get('out_layers', ()))
     num_scales = int(dict(model_cfg.get('anchor_generator', {})).get(
         'num_scales', num_sources + len(extras_spec)))
     return dict(extras_spec=extras_spec, num_scales=num_scales,
                 use_depthwise=bool(detector_cfg.get('use_depthwise', False)),
-                backbone=backbone, fpn=fpn, predictor=predictor)
+                backbone=backbone, fpn=fpn, mlfpn=mlfpn,
+                predictor=predictor)
 
 
 def resolve_mapping(backbone_name: str) -> Dict[str, Tuple[str, ...]]:

@@ -603,3 +603,74 @@ def test_export_retina_family_strict_loads_into_reference(rng):
     np.testing.assert_allclose(
         np.asarray(ours_locs).reshape(2, -1), locs_t.numpy(),
         rtol=1e-3, atol=1e-4)
+
+
+def test_export_m2det_family_strict_loads_into_reference(rng):
+    """M2Det-family reverse migration: the MLFPN chain — base reducers,
+    TUM down/up/smooth stacks, per-TUM reducers, SFAM gates — exports via
+    the mlfpn= mapping extension and strict-loads into the reference
+    Detector with forward agreement (pins the down/up/smooth/reducer index
+    correspondence numerically)."""
+    ref_mbv2 = _import_ref('bf.base.mobilenet_v2')
+    det_builder = _import_ref('detection.detector_builder')
+    import contextlib
+    if not hasattr(torch.jit, 'scope'):
+        torch.jit.scope = lambda *_a, **_k: contextlib.nullcontext()
+    import jax
+    from single_shot_detection_tpu.models import builder
+    from single_shot_detection_tpu.utils import torch_import
+
+    features_kw = {'name': 'MultilevelFeaturePyramid',
+                   'out_layers': (13, 18), 'num_scales': 3, 'num_tums': 2,
+                   'base_reduced_channels': [64, 64],
+                   'reduced_channels': 32,
+                   'tum': {'inner_channels': 64, 'out_channels': 32}}
+    anchor_kw = {'type': 'ssd', 'num_scales': 3, 'min_scale': 0.15,
+                 'max_scale': 0.95, 'aspect_ratios': [[1.0, 2.0]] * 3}
+    bundle = builder.build(
+        base={'name': 'mobilenet_v2', 'depth_multiplier': 0.35},
+        anchor_generator=anchor_kw, num_classes=5,
+        features=features_kw, input_size=(128, 128))
+    variables = bundle.init(jax.random.PRNGKey(31))
+
+    model_cfg = {'base': {'name': 'mobilenet_v2'},
+                 'detector': {'num_classes': 5, 'features': features_kw},
+                 'anchor_generator': anchor_kw}
+    args = torch_import.mapping_args_from_config(model_cfg)
+    assert args['mlfpn'] == {'num_out_layers': 2, 'num_scales': 3,
+                             'num_tums': 2}
+    mapping = torch_import.reference_detector_mapping(
+        args['extras_spec'], args['num_scales'], args['use_depthwise'],
+        backbone_mapping=torch_import.reference_backbone_mapping(
+            args['backbone']),
+        fpn=args['fpn'], mlfpn=args['mlfpn'], predictor=args['predictor'])
+    sd = torch_import.export_state_dict(variables, mapping, base_path=())
+    assert 'predictor.features.base_reducers.0.conv.weight' in sd
+    assert 'predictor.features.tums.1.down_layers.1.conv.weight' in sd
+    assert 'predictor.features.tums.0.smooth_layers.2.bn.running_mean' in sd
+    assert 'predictor.features.reducers.0.conv.weight' in sd
+    assert 'predictor.features.sfam.fc2.2.bias' in sd
+
+    base = ref_mbv2.MobileNetV2(depth_multiplier=0.35, include_top=False,
+                                init_weights=False)
+    ref = det_builder.build(
+        base=base,
+        anchor_generator_params=anchor_kw,
+        num_classes=5,
+        features=features_kw)
+    ref.load_state_dict({k: torch.from_numpy(np.array(v))
+                         for k, v in sd.items()}, strict=True)
+    ref.eval()
+
+    x = rng.rand(2, 128, 128, 3).astype(np.float32)
+    with torch.no_grad():
+        scores_t, locs_t, _ = ref.predictor(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    ours_scores, ours_locs = bundle.module.apply(
+        variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(
+        np.asarray(ours_scores).reshape(2, -1), scores_t.numpy(),
+        rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(ours_locs).reshape(2, -1), locs_t.numpy(),
+        rtol=1e-3, atol=1e-4)
