@@ -560,9 +560,10 @@ def export_reference_checkpoint(path: str,
     ``model_dict`` — bf/training/callbacks.py:69-73, consumed by
     helpers.py:44-66) so a model trained on TPU can be served or
     fine-tuned by an existing torch deployment.  Scope mirrors the
-    importer: SSD- and Retina-family detectors (backbone + Features/
-    FeaturePyramid + extras + SharedConvPredictor towers + heads) over the
-    mobilenet/vgg/resnet backbones ``reference_backbone_mapping`` knows.
+    importer: all three reference model families — SSD, Retina, M2Det
+    (backbone + Features/FeaturePyramid/MultilevelFeaturePyramid + extras
+    + SharedConvPredictor towers + heads) — over the mobilenet/vgg/resnet
+    backbones ``reference_backbone_mapping`` knows.
     """
     import torch
     mapping = reference_detector_mapping(
