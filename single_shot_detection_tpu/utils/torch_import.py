@@ -411,12 +411,14 @@ def reference_detector_mapping(extras_spec,
 def reference_backbone_mapping(backbone: str) -> Dict[str, Tuple[str, ...]]:
     """Backbone half of a reference checkpoint, by reference registry name.
 
-    Supported: the custom MobileNets (their own torch layouts) and the
+    Supported: the custom MobileNets (their own torch layouts), the
     torchvision VGGs (the reference's Features copies ``<backbone>.features``
     children directly, so checkpoint keys are the same indices minus the
-    ``features.`` prefix).  ResNet-family reference checkpoints re-wrap the
-    backbone into an index-keyed Sequential (base_builder.py:10-26) and are
-    not mapped yet.
+    ``features.`` prefix), and the torchvision ResNet/ResNeXt family (the
+    reference re-wraps those into an index-keyed Sequential,
+    base_builder.py:10-26, which ``resnet_reference_mapping`` mirrors).
+    SE-ResNet/SE-ResNeXt use pretrainedmodels' layer0-indexed layout and are
+    not mapped — they raise here rather than import garbage.
     """
     if backbone.startswith('mobilenet_v2'):
         return mobilenet_v2_reference_mapping()
@@ -431,11 +433,14 @@ def reference_backbone_mapping(backbone: str) -> Dict[str, Tuple[str, ...]]:
         from single_shot_detection_tpu.models.vgg import VGG_CONFIGS
         depth = int(''.join(ch for ch in backbone if ch.isdigit()))
         return vgg_mapping(VGG_CONFIGS[depth], bn=backbone.endswith('_bn'))
-    if 'resnet' in backbone or 'resnext' in backbone:
-        import re
+    # Anchored match: 'se_resnet50'/'se_resnext50_32x4d' must NOT fall in
+    # here — their reference layout is the layer0-indexed senet wrapper,
+    # not conv1/bn1, and a substring match would import garbage silently.
+    import re
+    m = re.match(r'(?:torchvision_)?(?:resnet|resnext)(\d+)', backbone)
+    if m:
         from single_shot_detection_tpu.models.resnet import RESNET_CONFIGS
-        depth = int(re.search(r'(?:resnet|resnext)(\d+)', backbone)[1])
-        return resnet_reference_mapping(RESNET_CONFIGS[depth]['layers'])
+        return resnet_reference_mapping(RESNET_CONFIGS[int(m[1])]['layers'])
     raise KeyError(f'No reference-checkpoint mapping for backbone '
                    f'{backbone!r} (supported: mobilenet v1/v2, vgg, '
                    f'resnet/resnext)')
@@ -458,6 +463,18 @@ def import_reference_checkpoint(path: str,
         backbone_mapping=reference_backbone_mapping(backbone),
         fpn=fpn, mlfpn=mlfpn, predictor=predictor)
     sd = load_torch_state_dict(path)
+    # Belt-and-braces vs mapping gaps: any checkpoint tensor whose module
+    # prefix the mapping never names would be silently dropped (the model
+    # keeping its random init there) — report them loudly instead.
+    unconsumed = sorted({k.rsplit('.', 1)[0] for k in sd
+                         if k.rsplit('.', 1)[-1] in
+                         ('weight', 'bias', 'running_mean', 'running_var')}
+                        - set(mapping))
+    if unconsumed:
+        logging.warning(
+            f'WW torch import: {len(unconsumed)} checkpoint modules have '
+            f'no mapping entry and were NOT imported (model keeps its '
+            f'init there): {unconsumed[:8]}...')
     return import_backbone(sd, variables, 'reference_detector',
                            base_path=(), mapping=mapping)
 
@@ -508,6 +525,7 @@ def export_state_dict(variables: dict,
 
     out: Dict[str, np.ndarray] = {}
     missing = []
+    fabricated_stats = []
     for torch_prefix, our_path in mapping.items():
         leaf = get_subtree(source_params, our_path)
         if leaf is None:
@@ -519,6 +537,11 @@ def export_state_dict(variables: dict,
             out[f'{torch_prefix}.bias'] = invert_tensor(
                 torch_prefix, leaf['bias'])
             stats_leaf = get_subtree(source_stats, our_path)
+            if stats_leaf is None:
+                # Identity stats keep strict torch loads working, but an
+                # eval-mode torch model then normalizes differently from
+                # the trained model — surface it, don't hide it.
+                fabricated_stats.append(torch_prefix)
             mean = (stats_leaf['mean'] if stats_leaf is not None
                     else np.zeros_like(leaf['scale']))
             var = (stats_leaf['var'] if stats_leaf is not None
@@ -540,6 +563,12 @@ def export_state_dict(variables: dict,
     if missing:
         logging.warning(f'WW torch export: no source leaf for '
                         f'{missing[:5]}... ({len(missing)} total)')
+    if fabricated_stats:
+        logging.warning(
+            f'WW torch export: fabricated identity running stats '
+            f'(mean=0/var=1) for BatchNorms with no batch_stats leaf: '
+            f'{fabricated_stats[:5]}... ({len(fabricated_stats)} total) '
+            f'— the exported model will normalize differently in eval mode')
     logging.info(f'===> torch export: emitted {len(out)} tensors')
     return out
 
@@ -597,13 +626,23 @@ def mapping_args_from_config(model_cfg: dict) -> dict:
     features_cfg = dict(detector_cfg.get('features', {}))
     fpn = None
     mlfpn = None
-    if features_cfg.get('name') == 'FeaturePyramid':
+    features_name = features_cfg.get('name', 'Features')
+    if features_name == 'FeaturePyramid':
         fpn = {'num_laterals': len(features_cfg.get('out_layers', ())),
                'pyramid_layers': int(features_cfg['pyramid_layers'])}
-    elif features_cfg.get('name') == 'MultilevelFeaturePyramid':
+    elif features_name == 'MultilevelFeaturePyramid':
         mlfpn = {'num_out_layers': len(features_cfg.get('out_layers', ())),
                  'num_scales': int(features_cfg['num_scales']),
                  'num_tums': int(features_cfg['num_tums'])}
+    elif features_name not in (None, '', 'Features'):
+        # An unknown neck (e.g. DepthwiseFeaturePyramid) would otherwise
+        # proceed with NO neck mapping entries at all — the checkpoint's
+        # neck keys would never be consulted and the model would silently
+        # run with random neck weights.
+        raise KeyError(
+            f'No reference-checkpoint mapping for neck {features_name!r} '
+            f"(supported: Features, FeaturePyramid, "
+            f"MultilevelFeaturePyramid)")
     predictor_cfg = detector_cfg.get('predictor')
     predictor = ({'num_layers': int(predictor_cfg.get('num_layers', 0))}
                  if predictor_cfg else None)

@@ -347,3 +347,26 @@ def test_export_reference_checkpoint_file(tmp_path):
                    ['expand_conv']['kernel']),
         np.asarray(back['params']['features']['base']['stage3']
                    ['expand_conv']['kernel']))
+
+
+def test_unsupported_mappings_raise_clearly():
+    """Guards from the round-3 advisor findings: SE-net names must not fall
+    into the resnet substring branch (their reference layout is the
+    layer0-indexed senet wrapper), and an unmapped neck in
+    mapping_args_from_config must raise instead of silently importing a
+    model with random neck weights."""
+    import pytest
+    for name in ('se_resnet50', 'se_resnext50_32x4d'):
+        with pytest.raises(KeyError, match='No reference-checkpoint mapping'):
+            torch_import.reference_backbone_mapping(name)
+    # anchored resnet/resnext names still resolve
+    assert torch_import.reference_backbone_mapping('resnet18')
+    assert torch_import.reference_backbone_mapping('torchvision_resnext50_32x4d')
+
+    with pytest.raises(KeyError, match='DepthwiseFeaturePyramid'):
+        torch_import.mapping_args_from_config({
+            'base': {'name': 'mobilenet_v2'},
+            'detector': {'features': {'name': 'DepthwiseFeaturePyramid',
+                                      'out_layers': (13, 18),
+                                      'pyramid_layers': 6}},
+        })
