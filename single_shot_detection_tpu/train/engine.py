@@ -551,7 +551,17 @@ class Experiment:
                     ema_params=jax.tree_util.tree_map(jnp.array,
                                                       self.state.params))
 
-        if base_weight:
+        if base_weight and str(base_weight).endswith(('.h5', '.hdf5')):
+            # keras-applications pretrained weights (parity:
+            # base_builder.py:81-84 init_from_keras + convert_weights.py) —
+            # read straight from the .h5 with h5py, no TF runtime
+            from single_shot_detection_tpu.utils import keras_import
+            _adopt_imported(keras_import.import_keras_backbone(
+                base_weight,
+                {'params': self.state.params,
+                 'batch_stats': self.state.batch_stats},
+                base_cfg['name']))
+        elif base_weight:
             from single_shot_detection_tpu.utils import torch_import
             sd = torch_import.load_torch_state_dict(base_weight)
             _adopt_imported(torch_import.import_backbone(
@@ -752,6 +762,31 @@ class Experiment:
                 state_sharding=(self._state_sharding
                                 if self._state_sharding is not self._replicated
                                 else None))
+        # transfer-ahead double buffering (train.transfer_ahead, default 2;
+        # 0 disables): host->device transfers for upcoming batches are issued
+        # on a background thread while the current step computes, so the
+        # transfer time of batch k+1 hides under step k instead of adding to
+        # it.  The analog of the reference DataLoader's pin_memory+workers
+        # overlap (data_builder.py:78-85); decisive through a remote-TPU
+        # relay where device_put blocks on the link (docs/PERF.md).
+        self.transfer_ahead = int(train_cfg.get('transfer_ahead', 2) or 0)
+        # HBM-resident staged dataset (train.device_cache: True or
+        # {'max_bytes': n}): the fill epoch streams normally while copying
+        # staged rows aside; every later epoch gathers its batches straight
+        # from HBM — no decode, no host->device pixel transfer.  Bitwise
+        # identical batch stream (data/device_cache.py).
+        self._device_cache = None
+        dc_cfg = train_cfg.get('device_cache')
+        if dc_cfg and 'train' in self.loaders:
+            if process_count > 1:
+                logging.warning('WW train.device_cache is single-process '
+                                'only (per-host caches would double-count '
+                                'global rows); streaming from host')
+            else:
+                from single_shot_detection_tpu.data.device_cache import \
+                    make_device_cache
+                self._device_cache = make_device_cache(
+                    self.loaders['train'], dc_cfg)
         # under QAT, eval/predict run the fake-quant forward too (read-only
         # scales) so reported mAP reflects the quantized serving behavior
         self.eval_step = make_eval_step(
@@ -977,17 +1012,32 @@ class Experiment:
         lr_value = None
 
         step_idx = 0
-        for kind, host in self._train_batches(loader, num_batches):
+        cache = self._device_cache
+        if cache is not None and cache.ready:
+            # HBM-resident dataset (train.device_cache): batches assemble
+            # with an on-device gather — no host loader, no transfers
+            batch_source = cache.epoch_batches(
+                loader, epoch,
+                fused_k=self.fused_steps if self.fused_train_step else 1,
+                num_batches=num_batches)
+        else:
+            # host batches flow loader -> background _shard (transfer-ahead
+            # double buffering) -> this loop, so batch k+1's host->device
+            # transfer overlaps step k's device time
+            staged = ((kind, host, 1 if kind == 'fused' else 0)
+                      for kind, host in self._train_batches(
+                          loader, num_batches,
+                          observe=cache.observe if cache else None))
+            batch_source = self._prefetch_shard(staged)
+        for kind, device_batch in batch_source:
             rng = jax.random.fold_in(self.rng,
                                      epoch * num_batches + step_idx)
             if kind == 'fused':
-                device_batch = self._shard(host, axis=1)
                 self.state, sums = self.fused_train_step(
                     self.state, device_batch, rng)
                 n = self.fused_steps
                 metrics = {k: v / n for k, v in sums.items()}
             else:
-                device_batch = self._shard(host)
                 self.state, metrics = self.train_step(
                     self.state, device_batch, rng)
                 grads = metrics.pop('grads', None)
@@ -1028,6 +1078,17 @@ class Experiment:
                       f'(cls {vals[1]:.4f} loc {vals[2]:.4f}) '
                       f'lr {lr_value:.6f}',
                       end='', flush=True)
+
+        if cache is not None and not cache.ready:
+            # fill epoch done: top up drop_last leftovers and upload —
+            # every later epoch runs host-free
+            from single_shot_detection_tpu import parallel
+            cache.finalize(
+                loader, self._shard,
+                sharding_builder=lambda tree, axis: parallel.batch_shardings(
+                    self.mesh, tree, axis,
+                    spatial=self.spatial_sharding > 1),
+                row_divisor=int(self.mesh.shape[parallel.DATA_AXIS]))
 
         pulled = (jax.device_get(metric_sums) if metric_sums is not None
                   else {})
@@ -1098,15 +1159,25 @@ class Experiment:
         start = time.time()
         all_preds = []
         all_gts = []
-        sums = {'loss': 0.0, 'class_loss': 0.0, 'loc_loss': 0.0}
         count = 0
         image_offset = 0
 
-        for bidx, batch in enumerate(loader):
-            raw = self._shard({'image': batch['image'],
-                               'boxes': batch['boxes'],
-                               'box_mask': batch['box_mask'],
-                               'ids': batch['ids']})
+        # the whole epoch runs with NO per-batch host<->device sync: loss
+        # sums accumulate on device (mirroring the train loop) and each
+        # batch's detections stay on device until the loop has dispatched
+        # everything — then ONE drain pulls them all.  Per-batch float()/
+        # device_get here used to stall the dispatch pipeline every batch
+        # (expensive through a TPU relay; parity: the reference also moves
+        # device->CPU per batch, bf/eval.py:54-57 — this is strictly better).
+        sum_keys = ('loss', 'class_loss', 'loc_loss')
+        sums_dev = None
+        pending = []  # per-batch device arrays + host ids, drained post-loop
+
+        staged = (((bidx, np.asarray(batch['ids'])),
+                   {'image': batch['image'], 'boxes': batch['boxes'],
+                    'box_mask': batch['box_mask'], 'ids': batch['ids']}, 0)
+                  for bidx, batch in enumerate(loader))
+        for (bidx, host_ids), raw in self._prefetch_shard(staged):
             device_batch, full_boxes = self._augment(raw, train=False,
                                                      salt=bidx, with_full=True)
             # padding rows of the last partial batch carry id -1 and must not
@@ -1114,19 +1185,29 @@ class Experiment:
             device_batch['image_valid'] = raw['ids'] >= 0
             metrics, dets, valid = self.eval_step(eval_state, device_batch)
             count += 1
-            for k in sums:
-                sums[k] += float(metrics[k])
+            batch_sums = jnp.stack([metrics[k] for k in sum_keys])
+            sums_dev = (batch_sums if sums_dev is None
+                        else sums_dev + batch_sums)
+            pending.append({'dets': dets, 'valid': valid,
+                            'mask': device_batch['box_mask'],
+                            # pipeline-space GT (input_size coords, 7 cols
+                            # incl. difficult)
+                            'gt': full_boxes, 'ids': host_ids})
 
+        pulled_sums = (np.asarray(jax.device_get(sums_dev))
+                       if sums_dev is not None else np.zeros(len(sum_keys)))
+        for entry in pending:
             # each host pulls the rows it fed; multi-host assembles the
             # global view so every process computes identical metrics
-            # (plateau scheduling must agree across hosts)
+            # (plateau scheduling must agree across hosts).  These pulls
+            # happen after all compute was enqueued, so they only pay
+            # transfer time, never a pipeline stall.
             host = parallel.all_gather_host({
-                'dets': parallel.host_local_rows(dets),
-                'valid': parallel.host_local_rows(valid),
-                'mask': parallel.host_local_rows(device_batch['box_mask']),
-                # pipeline-space GT (input_size coords, 7 cols incl. difficult)
-                'gt': parallel.host_local_rows(full_boxes),
-                'ids': np.asarray(batch['ids']),
+                'dets': parallel.host_local_rows(entry['dets']),
+                'valid': parallel.host_local_rows(entry['valid']),
+                'mask': parallel.host_local_rows(entry['mask']),
+                'gt': parallel.host_local_rows(entry['gt']),
+                'ids': entry['ids'],
             }, self.process_count)
             for i in range(host['dets'].shape[0]):
                 if host['ids'][i] < 0:
@@ -1137,7 +1218,8 @@ class Experiment:
                 all_gts.append(host['gt'][i][host['mask'][i]])
                 image_offset += 1
 
-        result = {k: v / max(count, 1) for k, v in sums.items()}
+        result = {k: float(v) / max(count, 1)
+                  for k, v in zip(sum_keys, pulled_sums)}
         if all_gts:
             preds_arr = np.asarray(all_preds) if all_preds else np.zeros((0, 7))
             is_voc = self.cfg.is_voc('eval')
@@ -1190,13 +1272,75 @@ class Experiment:
                                               self.process_count, axis,
                                               spatial=spatial)
 
-    def _train_batches(self, loader, num_batches):
+    def _prefetch_shard(self, items, depth: Optional[int] = None):
+        """Double-buffered device transfer: consume ``(meta, host_tree,
+        axis)`` triples, yield ``(meta, device_tree)`` with up to ``depth``
+        transfers issued ahead on a background thread.
+
+        ``_shard``'s device_put blocks on the host->device link, so issuing
+        it inline serializes transfer after compute; pumping it from a
+        thread lets batch k+1's transfer ride under step k's device time.
+        Order is preserved (FIFO queue).  Loader/transfer exceptions
+        propagate to the consumer; early consumer exit (break/raise) stops
+        the pump without deadlocking on the bounded queue.
+        """
+        depth = self.transfer_ahead if depth is None else depth
+        if depth <= 0:
+            for meta, host, axis in items:
+                yield meta, self._shard(host, axis=axis)
+            return
+
+        import queue as queue_mod
+        import threading
+        q = queue_mod.Queue(maxsize=depth)
+        stop = threading.Event()
+        err = []
+        _end = object()
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue_mod.Full:
+                    continue
+            return False
+
+        def pump():
+            try:
+                for meta, host, axis in items:
+                    if not _put((meta, self._shard(host, axis=axis))):
+                        return
+            except BaseException as exc:  # loader/transfer errors propagate
+                err.append(exc)
+            finally:
+                _put(_end)
+
+        thread = threading.Thread(target=pump, daemon=True,
+                                  name='transfer-ahead')
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _end:
+                    break
+                yield item
+        finally:
+            stop.set()
+            thread.join(timeout=30)
+        if err:
+            raise err[0]
+
+    def _train_batches(self, loader, num_batches, observe=None):
         """Yield ('single', batch) or — when ``fused_steps`` > 1 —
-        ('fused', k-stacked batches); the remainder runs unfused."""
+        ('fused', k-stacked batches); the remainder runs unfused.
+        ``observe``: per-loader-batch callback (device-cache fill)."""
         chunk = []
         for step, batch in enumerate(loader):
             if step >= num_batches:
                 break
+            if observe is not None:
+                observe(batch)
             host = {k: batch[k] for k in ('image', 'boxes', 'box_mask')}
             if self.fused_train_step is None:
                 yield 'single', host

@@ -988,3 +988,26 @@ def test_torch_weight_full_detector_import(tmp_path):
                    ['expand_conv']['kernel']),
         np.asarray(variables['params']['features']['base']['stage3']
                    ['expand_conv']['kernel']))
+
+
+def test_transfer_ahead_equivalence(tmp_path):
+    """Transfer-ahead double buffering (train.transfer_ahead) is a pure
+    scheduling change: the background-thread device transfers must leave
+    training params bitwise identical and eval metrics equal to the
+    synchronous (depth 0) loop."""
+    results = []
+    for depth in (0, 2):
+        cfg = load_config(SMOKE)
+        cfg.config.train['epochs'] = 1
+        cfg.config.train['eval_every'] = 1
+        cfg.config.train['transfer_ahead'] = depth
+        exp = Experiment(cfg, phases=['train', 'eval'], debug=True)
+        assert exp.transfer_ahead == depth
+        rows = exp.train()
+        results.append((exp.state.params, rows[-1]))
+    (params_a, row_a), (params_b, row_b) = results
+    for x, y in zip(jax.tree_util.tree_leaves(params_a),
+                    jax.tree_util.tree_leaves(params_b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    for k in ('train_loss', 'eval_loss', 'eval_mAP'):
+        assert row_a[k] == row_b[k], (k, row_a[k], row_b[k])
