@@ -121,6 +121,77 @@ class MSELoss(_Loss):
         return _masked_reduce(per_row, mask, self.reduction)
 
 
+class HuberLoss(_Loss):
+    """Huber loss, torch's ``delta`` parameterization (parity: torch
+    ``F.huber_loss`` via the reference's blanket re-export, losses.py:4).
+    Unlike :class:`SmoothL1Loss` the quadratic zone is NOT divided by the
+    threshold: ``0.5*d^2`` for ``|d| < delta`` else ``delta*(|d| - delta/2)``
+    — identical only at ``delta == beta == 1``."""
+
+    def __init__(self, delta: float = 1.0, **kwargs):
+        super().__init__(**kwargs)
+        self.delta = delta
+
+    def __call__(self, pred, target, mask=None):
+        diff = jnp.abs(pred - target)
+        per_elem = jnp.where(diff < self.delta,
+                             0.5 * diff * diff,
+                             self.delta * (diff - 0.5 * self.delta))
+        per_row = jnp.sum(per_elem, axis=-1)
+        if mask is None:
+            mask = jnp.ones(per_row.shape, dtype=bool)
+        return _masked_reduce(per_row, mask, self.reduction)
+
+
+class NLLLoss(_Loss):
+    """Negative log likelihood over the last axis (parity: torch
+    ``F.nll_loss`` via the reference's re-export).  Like torch, applies NO
+    softmax — the input is expected to already hold log-probabilities; on
+    raw logits this is simply ``-logits[target]``."""
+
+    def __init__(self, ignore_index: int = -100, **kwargs):
+        super().__init__(**kwargs)
+        self.ignore_index = ignore_index
+
+    def __call__(self, logp, target, mask=None):
+        valid = target != self.ignore_index
+        if mask is not None:
+            valid = valid & mask
+        safe = jnp.maximum(target, 0)
+        onehot = jax.nn.one_hot(safe, logp.shape[-1], dtype=logp.dtype)
+        nll = -jnp.sum(logp * onehot, axis=-1)
+        return _masked_reduce(nll, valid, self.reduction)
+
+
+class BCEWithLogitsLoss(_Loss):
+    """Elementwise sigmoid BCE on logits (parity: torch
+    ``F.binary_cross_entropy_with_logits`` via the reference's re-export).
+    In the multibox context the target is the {0, score} multi-hot plane
+    (MULTICLASS), like :class:`SigmoidFocalLoss` with gamma=0 and no alpha
+    weighting.  ``pos_weight`` multiplies the positive term per torch."""
+
+    MULTICLASS = True
+
+    def __init__(self, pos_weight=None, **kwargs):
+        super().__init__(**kwargs)
+        self.pos_weight = pos_weight
+
+    def __call__(self, logits, target, mask=None):
+        if self.pos_weight is not None:
+            # torch definition: -[w_p*t*log(sig(x)) + (1-t)*log(1-sig(x))]
+            per_elem = -(jnp.asarray(self.pos_weight) * target
+                         * jax.nn.log_sigmoid(logits)
+                         + (1.0 - target) * jax.nn.log_sigmoid(-logits))
+        else:
+            # classic stable form: max(x,0) - x*t + log1p(exp(-|x|))
+            per_elem = (jnp.maximum(logits, 0) - logits * target
+                        + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+        per_row = jnp.sum(per_elem, axis=-1)
+        if mask is None:
+            mask = jnp.ones(per_row.shape, dtype=bool)
+        return _masked_reduce(per_row, mask, self.reduction)
+
+
 class SigmoidFocalLoss(_Loss):
     """Multi-hot sigmoid focal loss (parity: losses.py:34-54)."""
 
@@ -224,6 +295,9 @@ LOSSES = {
     'SmoothL1Loss': SmoothL1Loss,
     'L1Loss': L1Loss,
     'MSELoss': MSELoss,
+    'HuberLoss': HuberLoss,
+    'NLLLoss': NLLLoss,
+    'BCEWithLogitsLoss': BCEWithLogitsLoss,
     'SigmoidFocalLoss': SigmoidFocalLoss,
     'SoftmaxFocalLoss': SoftmaxFocalLoss,
     'CrossEntropyWithSoftTargetsLoss': CrossEntropyWithSoftTargetsLoss,
@@ -233,7 +307,16 @@ LOSSES = {
 
 
 def build_loss(name: str, **kwargs):
-    """Config-driven loss factory with kwarg filtering (parity: multibox_loss.py:23-30)."""
+    """Config-driven loss factory with kwarg filtering (parity:
+    multibox_loss.py:23-30).  The reference re-exports torch's entire loss
+    namespace (losses.py:4); any torch loss name NOT in our zoo fails here
+    with the supported list rather than a bare KeyError."""
+    if name not in LOSSES:
+        raise KeyError(
+            f'Unknown loss {name!r}. Supported names: '
+            f'{", ".join(sorted(LOSSES))}. (The torch reference re-exports '
+            f'every torch.nn loss; this TPU build implements the detection-'
+            f'relevant subset — ask for others by name.)')
     return filter_kwargs(LOSSES[name])(**kwargs)
 
 

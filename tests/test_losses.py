@@ -214,3 +214,60 @@ def test_torchhub_backbone_rejected():
     from single_shot_detection_tpu.models.builder import create_base
     with pytest.raises(ValueError, match='torch-hub'):
         create_base('torchhub://some/repo:model')
+
+
+def test_huber_loss_matches_torch(rng):
+    pred = rng.randn(6, 4).astype(np.float32) * 2
+    target = rng.randn(6, 4).astype(np.float32)
+    for delta in (1.0, 0.5, 2.0):
+        ours = losses.HuberLoss(reduction='sum', delta=delta)(
+            jnp.asarray(pred), jnp.asarray(target))
+        ref = F.huber_loss(torch.tensor(pred), torch.tensor(target),
+                           reduction='sum', delta=delta)
+        np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+    # delta=1 coincides with SmoothL1(beta=1), other deltas do not
+    s1 = losses.SmoothL1Loss(reduction='sum', beta=1.0)(
+        jnp.asarray(pred), jnp.asarray(target))
+    h1 = losses.HuberLoss(reduction='sum', delta=1.0)(
+        jnp.asarray(pred), jnp.asarray(target))
+    np.testing.assert_allclose(float(s1), float(h1), rtol=1e-6)
+
+
+def test_nll_loss_matches_torch(rng):
+    logits = rng.randn(30, 7).astype(np.float32)
+    logp = F.log_softmax(torch.tensor(logits), dim=-1).numpy()
+    target = rng.randint(0, 7, size=30)
+    target[::5] = -100  # ignore_index rows
+    ours = losses.NLLLoss(reduction='mean')(
+        jnp.asarray(logp), jnp.asarray(target))
+    ref = F.nll_loss(torch.tensor(logp), torch.tensor(target),
+                     reduction='mean', ignore_index=-100)
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+
+def test_bce_with_logits_matches_torch(rng):
+    logits = rng.randn(12, 5).astype(np.float32) * 3
+    target = (rng.rand(12, 5) > 0.7).astype(np.float32) * \
+        rng.rand(12, 5).astype(np.float32)  # soft {0, score} plane
+    ours = losses.BCEWithLogitsLoss(reduction='sum')(
+        jnp.asarray(logits), jnp.asarray(target))
+    ref = F.binary_cross_entropy_with_logits(
+        torch.tensor(logits), torch.tensor(target), reduction='sum')
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+    # pos_weight path
+    ours_w = losses.BCEWithLogitsLoss(reduction='sum', pos_weight=3.0)(
+        jnp.asarray(logits), jnp.asarray(target))
+    ref_w = F.binary_cross_entropy_with_logits(
+        torch.tensor(logits), torch.tensor(target), reduction='sum',
+        pos_weight=torch.tensor(3.0))
+    np.testing.assert_allclose(float(ours_w), float(ref_w), rtol=1e-5)
+
+
+def test_build_loss_unknown_name_lists_supported():
+    import pytest
+    from single_shot_detection_tpu.ops.losses import build_loss
+    with pytest.raises(KeyError, match='Supported names'):
+        build_loss('KLDivLoss')
+    # the newly added torch names construct through the config factory
+    for name in ('HuberLoss', 'NLLLoss', 'BCEWithLogitsLoss'):
+        assert build_loss(name, reduction='sum') is not None
