@@ -111,7 +111,8 @@ def stage_jpeg_dataset(root):
     return csv_path
 
 
-def bench_end_to_end(bf16, staging_colorspace='rgb', staging_cache=False):
+def bench_end_to_end(bf16, staging_colorspace='rgb', staging_cache=False,
+                     device_cache=False):
     """A user's epoch: main.py's Experiment on a staged JPEG dataset.
 
     ``staging_colorspace='yuv420'`` measures the packed-YUV staging path
@@ -120,9 +121,14 @@ def bench_end_to_end(bf16, staging_colorspace='rgb', staging_cache=False):
     ``staging_cache`` measures with the on-disk staging cache
     (train.staging_cache): the warmup epoch fills it, so the timed epochs
     run decode-free — the steady state of a cache-enabled run.
+    ``device_cache`` measures the HBM-resident dataset
+    (train.device_cache): the warmup epoch fills HBM, so the timed epochs
+    assemble batches with an on-device gather — no decode, no host->device
+    pixel transfer at all (data/device_cache.py).
     """
     print(f'bench: end-to-end phase ({staging_colorspace}'
-          f'{", cached" if staging_cache else ""})...', flush=True)
+          f'{", cached" if staging_cache else ""}'
+          f'{", device-cached" if device_cache else ""})...', flush=True)
     from single_shot_detection_tpu.train.engine import Experiment
     from single_shot_detection_tpu.utils.config import load_config
 
@@ -139,10 +145,17 @@ def bench_end_to_end(bf16, staging_colorspace='rgb', staging_cache=False):
         cfg.config.train['staging_colorspace'] = staging_colorspace
         if staging_cache:
             cfg.config.train['staging_cache'] = os.path.join(root, 'stage')
+        if device_cache:
+            cfg.config.train['device_cache'] = True
         cfg.config.num_workers = 4
 
         exp = Experiment(cfg, phases=['train'], debug=True, bf16=bf16)
         exp.train()  # warmup epoch: compile + first-loop slow path
+        if device_cache:
+            # the warmup epoch FILLED the HBM cache; one more epoch pays
+            # the gather compile + post-compile slow path, so the timed
+            # epochs measure the steady state (as for the other variants)
+            exp.train()
 
         per_epoch = []
         for _ in range(E2E_EPOCHS):
@@ -212,6 +225,8 @@ def main():
                      staging_colorspace='yuv420')
     e2e_cached = _retry(bench_end_to_end, bf16=on_tpu,
                         staging_colorspace='yuv420', staging_cache=True)
+    e2e_device = _retry(bench_end_to_end, bf16=on_tpu,
+                        staging_colorspace='yuv420', device_cache=True)
 
     # BASELINE.json's stated metric is images/sec/chip: the headline `value`
     # is the device train step at the flagship batch (128 — see module
@@ -246,6 +261,11 @@ def main():
         # + on-disk staging cache (train.staging_cache): steady-state epochs
         # are decode-free (14.9-24x host loader speedup, docs/PERF.md)
         'end_to_end_img_s_yuv420_cached': round(e2e_cached['median'], 2),
+        # + HBM-resident dataset (train.device_cache): steady-state epochs
+        # never touch the host — batches gather on-device
+        # (data/device_cache.py); e2e converges toward the device step
+        'end_to_end_img_s_device_cached': round(e2e_device['median'], 2),
+        'end_to_end_img_s_device_cached_best': round(e2e_device['best'], 2),
         # like-for-like ratio: e2e pipeline vs the e2e GPU estimate
         'end_to_end_vs_baseline': round(e2e['median'] / REFERENCE_GPU_IMG_S,
                                         3),

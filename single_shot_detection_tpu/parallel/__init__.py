@@ -2,6 +2,7 @@ from single_shot_detection_tpu.parallel.mesh import (DATA_AXIS,  # noqa: F401
                                                      MODEL_AXIS,
                                                      all_gather_host,
                                                      batch_sharding,
+                                                     batch_shardings,
                                                      create_mesh,
                                                      host_local_rows,
                                                      initialize_distributed,

@@ -67,6 +67,21 @@ def _data_spec(x, axis: int, spatial: bool = False) -> P:
     return P(*spec)
 
 
+def batch_shardings(mesh: Mesh, batch, axis: int = 0,
+                    spatial: bool = False):
+    """The NamedSharding tree :func:`shard_batch` places ``batch`` with
+    (leaves may be arrays or ShapeDtypeStructs).  Exposed so on-device
+    batch producers (data/device_cache.py gathers) can pin their
+    ``out_shardings`` to EXACTLY the transfer path's placement — a
+    different (if semantically equal) sharding would recompile the train
+    step into a second executable with different fusion/reduction order."""
+    def spec(path, x):
+        sp = spatial and _leaf_key(path) == 'image'
+        return NamedSharding(mesh, _data_spec(x, axis, sp))
+
+    return jax.tree_util.tree_map_with_path(spec, batch)
+
+
 def shard_batch(mesh: Mesh, batch, axis: int = 0, spatial: bool = False):
     """Place a host-local pytree of arrays as data-sharded global arrays
     (``axis`` = the batch dimension; fused [k, B, ...] chunks use axis=1).
@@ -74,11 +89,8 @@ def shard_batch(mesh: Mesh, batch, axis: int = 0, spatial: bool = False):
     (engine ``train.spatial_sharding`` — the very-large-input extension,
     SURVEY.md §5).  Only leaves NAMED ``image`` qualify — rank alone would
     mis-shard future image-shaped auxiliaries (weight maps etc.)."""
-    def place(path, x):
-        sp = spatial and _leaf_key(path) == 'image'
-        return jax.device_put(x, NamedSharding(mesh, _data_spec(x, axis, sp)))
-
-    return jax.tree_util.tree_map_with_path(place, batch)
+    shardings = batch_shardings(mesh, batch, axis, spatial)
+    return jax.tree_util.tree_map(jax.device_put, batch, shardings)
 
 
 def make_global_batch(mesh: Mesh, batch, process_count: int = 1,

@@ -1,0 +1,71 @@
+"""HBM-resident staged dataset (data/device_cache.py).
+
+The cache must be a pure transport change: training with
+``train.device_cache`` enabled is BITWISE identical to host streaming —
+same loader permutation, same drop_last truncation, same fused chunking.
+"""
+
+import os
+
+import jax
+import numpy as np
+
+from single_shot_detection_tpu.train.engine import Experiment
+from single_shot_detection_tpu.utils.config import load_config
+
+SMOKE = os.path.join(os.path.dirname(__file__), '..', 'samples',
+                     'synthetic_smoke.py')
+
+
+def _run(device_cache, epochs=2, fused_steps=1, num_images=None):
+    cfg = load_config(SMOKE)
+    cfg.config.train['epochs'] = epochs
+    cfg.config.train['eval_every'] = 99
+    cfg.config.train['device_cache'] = device_cache
+    if fused_steps > 1:
+        cfg.config.train['fused_steps'] = fused_steps
+    if num_images is not None:
+        cfg.config.dataset['train']['num_images'] = num_images
+    exp = Experiment(cfg, phases=['train'], debug=True)
+    rows = exp.train()
+    return exp, rows
+
+
+def _assert_params_equal(a, b):
+    for x, y in zip(jax.tree_util.tree_leaves(a),
+                    jax.tree_util.tree_leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_device_cache_bitwise_equivalent():
+    exp_off, rows_off = _run(device_cache=False)
+    exp_on, rows_on = _run(device_cache=True)
+    # the cache filled during epoch 0 and served epoch 1
+    assert exp_on._device_cache is not None and exp_on._device_cache.ready
+    _assert_params_equal(exp_off.state.params, exp_on.state.params)
+    assert rows_off[-1]['train_loss'] == rows_on[-1]['train_loss']
+
+
+def test_device_cache_tops_up_drop_last_rows():
+    """batch 8 over 29 images: drop_last hides up to 5 rows per epoch —
+    finalize must stage them directly so later epochs can shuffle ALL
+    samples (matching the host loader, which re-rolls the drop each epoch
+    from the full index set)."""
+    exp_off, _ = _run(device_cache=False, epochs=3, num_images=29)
+    exp_on, _ = _run(device_cache=True, epochs=3, num_images=29)
+    assert exp_on._device_cache.ready
+    assert exp_on._device_cache.n == 29
+    _assert_params_equal(exp_off.state.params, exp_on.state.params)
+
+
+def test_device_cache_fused_steps_equivalent():
+    exp_off, _ = _run(device_cache=False, fused_steps=2)
+    exp_on, _ = _run(device_cache=True, fused_steps=2)
+    _assert_params_equal(exp_off.state.params, exp_on.state.params)
+
+
+def test_device_cache_over_budget_falls_back():
+    from single_shot_detection_tpu.data.device_cache import make_device_cache
+    exp, _ = _run(device_cache=False, epochs=0)
+    cache = make_device_cache(exp.loaders['train'], {'max_bytes': 1024})
+    assert cache is None  # over budget -> disabled, streaming continues
