@@ -97,7 +97,7 @@ def build_from_config(path, dtype):
 
 def bench_config(name, batch, dtype, steps, frozen_bn=False, int8=False,
                  group_norm=False, pre_nms_top_k=None, approx_top_k=False,
-                 recall_target=0.95):
+                 recall_target=0.95, preset=False, infer_only=False):
     from single_shot_detection_tpu.train import (create_train_state,
                                                  make_train_step)
     from single_shot_detection_tpu.train.step import make_predict_step
@@ -113,6 +113,25 @@ def bench_config(name, batch, dtype, steps, frozen_bn=False, int8=False,
     state = create_train_state(bundle.init(jax.random.PRNGKey(0)), tx)
     n_params = sum(np.prod(x.shape) for x in
                    jax.tree_util.tree_leaves(state.params))
+    int8_opts = {}
+    if preset:
+        # zero-hand-flags mode: the engine-level serving preset decides
+        # everything from the config (engine.serving_postprocessor +
+        # quantize.resolve_int8_opts; docs/SERVING.md recipes)
+        from single_shot_detection_tpu.export import quantize
+        from single_shot_detection_tpu.ops.postprocess import (
+            Postprocessor as _PP)
+        from single_shot_detection_tpu.utils.misc import filter_kwargs
+        from single_shot_detection_tpu.ops.box_coder import BoxCoder
+        pp_cfg = _PP.serving_preset(cfg.postprocess, anchors.shape[0])
+        postprocessor = filter_kwargs(_PP)(
+            box_coder=filter_kwargs(BoxCoder)(**(cfg.box_coder or {})),
+            **pp_cfg)
+        int8, int8_opts = quantize.preset_int8(cfg, batch_size=batch)
+        print(f'    preset: pre_nms_top_k='
+              f'{pp_cfg.get("pre_nms_top_k")}, int8={int8}'
+              f'{" spatial_limit=%s" % int8_opts.get("spatial_limit") if int8_opts.get("spatial_limit") else ""}',
+              flush=True)
     apply_fn = None
     if group_norm:
         if int8 or frozen_bn:
@@ -123,25 +142,29 @@ def bench_config(name, batch, dtype, steps, frozen_bn=False, int8=False,
                              '--int8/--frozen-bn')
         from single_shot_detection_tpu.models.norm import group_norm_apply
         apply_fn = group_norm_apply(bundle.module)
-    step = make_train_step(bundle.module, criterion, assigner, anchors, tx,
-                           donate=True, frozen_bn=frozen_bn,
-                           apply_fn=apply_fn)
     batch_data = synth_batch(batch, input_size, bundle.num_classes)
+    compile_s = 0.0
+    train_img_s = float('nan')
+    if not infer_only:
+        step = make_train_step(bundle.module, criterion, assigner, anchors,
+                               tx, donate=True, frozen_bn=frozen_bn,
+                               apply_fn=apply_fn)
 
-    key = jax.random.PRNGKey(1)
-    t_c0 = time.perf_counter()
-    state, metrics = step(state, batch_data, key)
-    jax.block_until_ready(metrics['loss'])
-    compile_s = time.perf_counter() - t_c0
-
-    elapsed = None
-    for _ in range(2):  # first loop discarded (relay slow path)
-        t0 = time.perf_counter()
-        for i in range(steps):
-            state, metrics = step(state, batch_data, jax.random.fold_in(key, i))
+        key = jax.random.PRNGKey(1)
+        t_c0 = time.perf_counter()
+        state, metrics = step(state, batch_data, key)
         jax.block_until_ready(metrics['loss'])
-        elapsed = time.perf_counter() - t0
-    train_img_s = batch * steps / elapsed
+        compile_s = time.perf_counter() - t_c0
+
+        elapsed = None
+        for _ in range(2):  # first loop discarded (relay slow path)
+            t0 = time.perf_counter()
+            for i in range(steps):
+                state, metrics = step(state, batch_data,
+                                      jax.random.fold_in(key, i))
+            jax.block_until_ready(metrics['loss'])
+            elapsed = time.perf_counter() - t0
+        train_img_s = batch * steps / elapsed
 
     # fused inference: forward + on-chip postprocess
     if pre_nms_top_k is not None:
@@ -154,7 +177,8 @@ def bench_config(name, batch, dtype, steps, frozen_bn=False, int8=False,
         amax = quantize.calibrate(bundle.module, variables,
                                   [batch_data['image']])
         predict = quantize.make_quantized_predict_step(
-            bundle.module, postprocessor, anchors, amax)
+            bundle.module, postprocessor, anchors, amax,
+            spatial_limit=int8_opts.get('spatial_limit'))
     else:
         predict = make_predict_step(bundle.module, postprocessor, anchors,
                                     apply_fn=apply_fn)
@@ -169,17 +193,24 @@ def bench_config(name, batch, dtype, steps, frozen_bn=False, int8=False,
         elapsed = time.perf_counter() - t0
     infer_img_s = batch * steps / elapsed
 
+    import math
     row = {
         'config': name.replace('.py', ''),
         'batch': batch,
         'input': list(input_size),
         'params_m': round(float(n_params) / 1e6, 2),
-        'train_img_s': round(train_img_s, 1),
-        'train_ms_per_step': round(1000.0 * batch / train_img_s, 2),
+        'train_img_s': (None if math.isnan(train_img_s)
+                        else round(train_img_s, 1)),
+        'train_ms_per_step': (None if math.isnan(train_img_s)
+                              else round(1000.0 * batch / train_img_s, 2)),
         'infer_img_s': round(infer_img_s, 1),
         'compile_s': round(compile_s, 1),
         'dtype': str(jnp.zeros((), dtype).dtype),
     }
+    if preset:
+        row['preset'] = True
+        if int8_opts.get('spatial_limit'):
+            row['spatial_limit'] = int8_opts['spatial_limit']
     if frozen_bn:
         row['frozen_bn'] = True
     if group_norm:
@@ -221,6 +252,12 @@ def main():
                     help='use jax.lax.approx_max_k for the candidate '
                          'pre-selection (requires --pre-nms-top-k)')
     ap.add_argument('--recall-target', type=float, default=0.95)
+    ap.add_argument('--preset', action='store_true',
+                    help='zero-hand-flags serving preset: pre_nms_top_k and '
+                         'int8/spatial_limit auto-chosen per config '
+                         '(engine-level recipes, docs/SERVING.md)')
+    ap.add_argument('--infer-only', action='store_true',
+                    help='skip the train-step column (serving measurement)')
     args = ap.parse_args()
     dtype = jnp.bfloat16 if args.dtype == 'bf16' else jnp.float32
 
@@ -234,17 +271,20 @@ def main():
                      recall_target=args.recall_target)
         rows.append(_retry(bench_config, name, batch, dtype, args.steps,
                            frozen_bn=args.frozen_bn, int8=args.int8,
-                           group_norm=args.group_norm, **pp_kw))
+                           group_norm=args.group_norm, preset=args.preset,
+                           infer_only=args.infer_only, **pp_kw))
         if name in ALIGNED and not args.no_aligned and args.batch is None:
             rows.append(_retry(bench_config, name, ALIGNED[name], dtype,
                                args.steps, frozen_bn=args.frozen_bn,
                                group_norm=args.group_norm,
-                               int8=args.int8, **pp_kw))
+                               int8=args.int8, preset=args.preset,
+                               infer_only=args.infer_only, **pp_kw))
 
     print('\nconfig                      batch  train img/s   ms/step  infer img/s')
     for r in rows:
-        print(f"{r['config']:<27} {r['batch']:>5} {r['train_img_s']:>12} "
-              f"{r['train_ms_per_step']:>9} {r['infer_img_s']:>12}")
+        print(f"{r['config']:<27} {r['batch']:>5} "
+              f"{str(r['train_img_s']):>12} "
+              f"{str(r['train_ms_per_step']):>9} {r['infer_img_s']:>12}")
 
 
 if __name__ == '__main__':

@@ -83,7 +83,9 @@ def _make_inference_fn_for(experiment, module, with_postprocess,
                            with_preprocess=False):
     anchors = jnp.asarray(experiment.anchors)
     coder = experiment.box_coder
-    postprocessor = experiment.postprocessor
+    # serving preset: anchor-heavy configs get pre_nms_top_k baked unless
+    # the config pins the key (engine.serving_postprocessor; SERVING.md)
+    postprocessor = experiment.serving_postprocessor()
     apply_fn = module.apply
     gn_groups = getattr(experiment, 'gn_groups', None)
     if gn_groups:
@@ -97,7 +99,14 @@ def _make_inference_fn_for(experiment, module, with_postprocess,
         apply_fn = _norm.group_norm_apply(module, gn_groups)
     if int8:
         from single_shot_detection_tpu.export import quantize
-        opts = dict(experiment.cfg.int8 or {})
+        enabled, opts = quantize.resolve_int8_opts(experiment.cfg)
+        if not enabled:
+            # an export artifact silently falling back to float would ship
+            # the wrong program — refuse with the recipe instead
+            raise ValueError(
+                'int8 export refused: this backbone/batch point was '
+                'measured to regress under int8 (docs/SERVING.md). Set an '
+                'explicit ``int8 = {...}`` config block to force it.')
         # an Experiment that already calibrated (--int8 eval before export)
         # holds valid per-conv amax for ITS OWN module at the CURRENT
         # weights; a materialized (pruned-narrow) module has different conv

@@ -38,6 +38,83 @@ from flax import linen as nn
 
 QMAX = 127.0
 
+# SERVING.md's measured int8 regression points, encoded as an engine-level
+# gate so --int8 cannot silently be a large loss:
+#   * depthwise-dominated backbones (MobileNet/ShuffleNet) below batch 128:
+#     the pointwise quantize passes cost more than they save (-42% measured
+#     at mb2 b32); depthwise convs stay float by design so there is little
+#     to win.
+#   * >=512 inputs without a spatial_limit: int8's (32, 128) tiling inserts
+#     re-tiling copies on the big stem activations (-21% measured on
+#     vgg512); spatial_limit=256 keeps the stem float and wins (408 vs 391).
+DEPTHWISE_BACKBONE_PREFIXES = ('mobilenet', 'shufflenet')
+DEPTHWISE_MIN_BATCH = 128
+SPATIAL_LIMIT_INPUT = 512
+SPATIAL_LIMIT_DEFAULT = 256
+
+
+def resolve_int8_opts(cfg, log=None, batch_size=None):
+    """Apply the measured serving preset to a config's ``int8`` options.
+
+    Returns ``(enabled, opts)``: ``enabled`` is False when the
+    backbone/batch point was measured to REGRESS under int8 (the user can
+    force it by setting an explicit ``int8 = {...}`` dict in the config —
+    an explicit block is an opt-in); ``opts`` carries an auto-chosen
+    ``spatial_limit`` for >=512 inputs unless the config pins one.
+    """
+    import logging as _logging
+    log = log or _logging
+    # ConfigWrapper defaults ANY missing attribute to {} — to tell an
+    # explicit ``int8 = {}`` opt-in from an absent key, read the raw
+    # config module underneath (wrapper.config)
+    raw_cfg = getattr(cfg, 'config', cfg)
+    int8_cfg = getattr(raw_cfg, 'int8', None)
+    explicit = isinstance(int8_cfg, dict)
+    opts = dict(int8_cfg or {})
+    model_cfg = dict(getattr(cfg, 'model', None) or {})
+    backbone = str(dict(model_cfg.get('base', {})).get('name', '')).lower()
+    batch = int(batch_size if batch_size is not None
+                else getattr(cfg, 'batch_size', None) or 32)
+    input_size = max(tuple(getattr(cfg, 'input_size', None) or (300, 300)))
+
+    if (not explicit and batch < DEPTHWISE_MIN_BATCH
+            and any(p in backbone for p in DEPTHWISE_BACKBONE_PREFIXES)):
+        log.warning(
+            f'WW --int8 disabled: {backbone!r} at batch {batch} was '
+            f'measured to LOSE under int8 (depthwise-dominated; -42% at '
+            f'mobilenet_v2 b32 — docs/SERVING.md). Set an explicit '
+            f'``int8 = {{}}`` block in the config to force it.')
+        return False, opts
+
+    if input_size >= SPATIAL_LIMIT_INPUT and 'spatial_limit' not in opts:
+        opts['spatial_limit'] = SPATIAL_LIMIT_DEFAULT
+        log.info(
+            f'II int8 preset: spatial_limit={SPATIAL_LIMIT_DEFAULT} for the '
+            f'{input_size}-input config (keeps the stem float; int8 '
+            f'(32,128) tiling re-tiles big activations — docs/SERVING.md)')
+    return True, opts
+
+
+# backbones where int8 PTQ was MEASURED to win (dense-conv stacks feed the
+# MXU at 2x bf16 rate; docs/SERVING.md: vgg300 +27.5%)
+INT8_WIN_BACKBONES = ('vgg',)
+
+
+def preset_int8(cfg, batch_size=None, log=None):
+    """Zero-flag serving preset: decide whether to serve THIS config int8.
+
+    Unlike :func:`resolve_int8_opts` (a gate for an explicit ``--int8``),
+    this auto-ENABLES int8 only for configs measured to win from it —
+    VGG-family dense-conv stacks — and auto-disables everywhere else.
+    Returns ``(use_int8, opts)``.
+    """
+    enabled, opts = resolve_int8_opts(cfg, log=log, batch_size=batch_size)
+    if not enabled:
+        return False, opts
+    model_cfg = dict(getattr(cfg, 'model', None) or {})
+    backbone = str(dict(model_cfg.get('base', {})).get('name', '')).lower()
+    return any(p in backbone for p in INT8_WIN_BACKBONES), opts
+
 
 def _module_path(module) -> str:
     return '/'.join(str(p) for p in module.path)

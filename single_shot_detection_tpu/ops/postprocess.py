@@ -72,6 +72,23 @@ class Postprocessor:
             use_pallas = nms_pallas.available() and not self.soft
         self.use_pallas = bool(use_pallas)
 
+    SERVING_TOP_K = 1000          # standard candidate budget
+    SERVING_ANCHOR_THRESHOLD = 10000  # above this, per-class NMS is sort-bound
+
+    @staticmethod
+    def serving_preset(postprocess_cfg: dict, num_anchors: int) -> dict:
+        """SERVING.md's measured preset for the serving paths
+        (predict/test/export): ``pre_nms_top_k=1000`` on anchor-heavy
+        configs (1.5-3x measured: retina 170->522, vgg512 235->391 img/s)
+        unless the config pins the key itself — pinning it (even to None)
+        wins.  Eval paths should NOT use this: rank-over-all-anchors is
+        the reference's eval semantics (postprocessor.py:9-23)."""
+        pp = dict(postprocess_cfg or {})
+        if ('pre_nms_top_k' not in pp
+                and int(num_anchors) > Postprocessor.SERVING_ANCHOR_THRESHOLD):
+            pp['pre_nms_top_k'] = Postprocessor.SERVING_TOP_K
+        return pp
+
     def __call__(self, scores: jnp.ndarray, locs: jnp.ndarray, anchors: jnp.ndarray):
         return _postprocess(scores, locs, anchors,
                             xy_scale=self.box_coder.xy_scale,

@@ -357,11 +357,15 @@ class Experiment:
         # GPipe microbatch schedule over the model axis — stage 0 (backbone/
         # neck) on one core group, stage 1 (extras/heads) on the other,
         # activations hand-off via ppermute ring buffers
-        # (parallel/pipeline.py).  Value = microbatch count (int or
-        # {'microbatches': M}); stages are fixed at 2 (the detector seam).
+        # (parallel/pipeline.py).  Value = microbatch count (int) or
+        # {'microbatches': M, 'stages': S}; S defaults to 2 (the universal
+        # backbone | heads seam), S > 2 splits the M2Det TUM chain into
+        # per-stage segments (models/detector.py tum_stage_chunks)
         pp_cfg = train_cfg.get('pipeline_sharding')
+        self.pipeline_stages = 2
         if isinstance(pp_cfg, dict):
             self.pipeline_microbatches = int(pp_cfg.get('microbatches', 2))
+            self.pipeline_stages = int(pp_cfg.get('stages', 2))
         else:
             self.pipeline_microbatches = int(pp_cfg or 0)
         n_model_owners = sum((self.tensor_sharding > 1,
@@ -392,8 +396,7 @@ class Experiment:
                     f'divide the staged image height ({staged_h})')
         n_model = max(self.tensor_sharding, self.spatial_sharding)
         if self.pipeline_microbatches:
-            from single_shot_detection_tpu.parallel import pipeline as _pp
-            n_model = _pp.N_STAGES
+            n_model = self.pipeline_stages
         if n_model > 1:
             avail = list(devices) if devices is not None \
                 else jax.local_devices()
@@ -723,10 +726,10 @@ class Experiment:
                 self.bundle.module, self.mesh, self.pipeline_microbatches,
                 apply=self.gn_apply)
             logging.info(
-                f'II pipeline parallelism: 2 stages x '
+                f'II pipeline parallelism: {self.pipeline_stages} stages x '
                 f'{self.pipeline_microbatches} microbatches '
                 f'(bubble fraction '
-                f'{1 / (self.pipeline_microbatches + 1):.0%})')
+                f'{(self.pipeline_stages - 1) / (self.pipeline_microbatches + self.pipeline_stages - 1):.0%})')
         train_apply = self.pipeline_apply or self.apply_override
         # the pipelined forward is train=False by construction; reuse the
         # frozen-BN step branch (group_norm makes the flag a no-op anyway)
@@ -793,7 +796,7 @@ class Experiment:
             self.bundle.module, self.criterion, self.assigner, self.anchors,
             self.postprocessor, apply_fn=self.apply_override)
         self.predict_step = make_predict_step(
-            self.bundle.module, self.postprocessor, self.anchors,
+            self.bundle.module, self.serving_postprocessor(), self.anchors,
             apply_fn=self.apply_override)
         # int8 PTQ serving (export/quantize.py, the OpenVINO-deployment
         # analog): calibration is lazy — it needs real eval batches — and
@@ -1121,8 +1124,13 @@ class Experiment:
         from single_shot_detection_tpu import export as export_mod
         from single_shot_detection_tpu.export import quantize
         # optional config block: int8 = {'calibration_batches': N,
-        # 'spatial_limit': S} (see export/quantize.py on when S matters)
-        opts = dict(self.cfg.int8 or {})
+        # 'spatial_limit': S}; the measured serving preset auto-picks
+        # spatial_limit on 512 inputs and refuses the measured-regression
+        # points (mobilenet below b128) — quantize.resolve_int8_opts
+        enabled, opts = quantize.resolve_int8_opts(self.cfg)
+        if not enabled:
+            self.int8 = False
+            return
         qat_amax = (quantize.amax_from_batch_stats(self.state.batch_stats)
                     if self.qat_apply is not None else {})
         if qat_amax:
@@ -1146,9 +1154,30 @@ class Experiment:
             self.bundle.module, self.criterion, self.assigner, self.anchors,
             self.postprocessor, apply_fn=apply_fn)
         self.predict_step = make_predict_step(
-            self.bundle.module, self.postprocessor, self.anchors,
+            self.bundle.module, self.serving_postprocessor(), self.anchors,
             apply_fn=apply_fn)
         logging.info(f'>> int8: {how} {len(self._int8_amax)} convs')
+
+    def serving_postprocessor(self):
+        """Postprocessor for the serving paths (predict/test/export):
+        SERVING.md's measured preset applied — ``pre_nms_top_k=1000`` on
+        anchor-heavy configs, where the per-class NMS is SORT-bound (1.5-3x
+        measured: retina 170->522, vgg512 235->391 img/s) — unless the
+        config pins the key itself.  Eval keeps the config-exact
+        postprocessor: rank-over-all-anchors is the reference's eval
+        semantics (postprocessor.py:9-23)."""
+        pp_cfg = Postprocessor.serving_preset(self.cfg.postprocess,
+                                              self.anchors.shape[0])
+        if pp_cfg.get('pre_nms_top_k') == (self.cfg.postprocess or {}).get(
+                'pre_nms_top_k'):
+            return self.postprocessor
+        logging.info(
+            f'II serving preset: pre_nms_top_k={pp_cfg["pre_nms_top_k"]} '
+            f'({self.anchors.shape[0]} anchors — sort-bound without '
+            f'candidate pre-selection; docs/SERVING.md). Set '
+            f"postprocess.pre_nms_top_k (e.g. None) to override.")
+        return filter_kwargs(Postprocessor)(
+            box_coder=self.box_coder, **pp_cfg)
 
     def evaluate(self) -> dict:
         from single_shot_detection_tpu import parallel

@@ -134,6 +134,10 @@ def test_int8_eval_keeps_map_on_trained_checkpoint():
     if not os.path.isdir(exp_dir):
         pytest.skip('learning-evidence experiment not present')
     cfg = load_config(os.path.join(exp_dir, 'config.py'))
+    # explicit int8 block = opt-in past the serving gate (mobilenet at
+    # small batch is a measured int8 regression point; this test is about
+    # ACCURACY, not speed)
+    cfg.config.int8 = {}
     exp = Experiment(cfg, phases=['eval'], debug=True, resume_from=exp_dir,
                      int8=True)
     metrics = exp.evaluate()
@@ -154,6 +158,7 @@ def test_int8_recalibrates_when_training_advances():
     cfg = load_config(smoke)
     cfg.config.train = dict(cfg.config.train)
     cfg.config.train['epochs'] = 1
+    cfg.config.int8 = {}  # opt-in past the mobilenet/small-batch gate
     exp = Experiment(cfg, phases=['train', 'eval'], debug=True, int8=True)
 
     exp._ensure_int8()
@@ -182,3 +187,86 @@ def test_int8_without_dataset_is_a_clear_error():
 
     with pytest.raises(ValueError, match='int8 calibration'):
         export_mod._calibration_images(_NoLoaders())
+
+
+def test_int8_serving_gate_mb2_small_batch():
+    """The measured-regression gate: --int8 on a mobilenet config below
+    batch 128 (-42% at b32, docs/SERVING.md) is refused with a warning
+    and eval falls back to float; an explicit ``int8 = {}`` block forces
+    it through."""
+    from single_shot_detection_tpu.export.quantize import resolve_int8_opts
+    from single_shot_detection_tpu.train.engine import Experiment
+    from single_shot_detection_tpu.utils.config import load_config
+
+    smoke = os.path.join(os.path.dirname(__file__), '..', 'samples',
+                         'synthetic_smoke.py')
+    cfg = load_config(smoke)  # mobilenet_v2, batch 8
+    enabled, _ = resolve_int8_opts(cfg.config)
+    assert not enabled
+
+    cfg.config.train = dict(cfg.config.train)
+    cfg.config.train['epochs'] = 0
+    exp = Experiment(cfg, phases=['eval'], debug=True, int8=True)
+    exp._ensure_int8()
+    assert exp.int8 is False and exp._int8_amax is None
+
+    cfg2 = load_config(smoke)
+    cfg2.config.int8 = {}  # explicit block = opt-in
+    enabled2, _ = resolve_int8_opts(cfg2.config)
+    assert enabled2
+
+
+def test_int8_preset_auto_spatial_limit_on_512_inputs():
+    """512-input configs get spatial_limit=256 auto-chosen (full int8
+    re-tiles the stem activations, -21% measured); a config-pinned value
+    wins."""
+    from single_shot_detection_tpu.export.quantize import resolve_int8_opts
+    from single_shot_detection_tpu.utils.config import load_config
+
+    smoke = os.path.join(os.path.dirname(__file__), '..', 'samples',
+                         'synthetic_smoke.py')
+    cfg = load_config(smoke)
+    cfg.config.model = dict(cfg.config.model)
+    cfg.config.model['base'] = {'name': 'torchvision_vgg16_bn'}
+    cfg.config.input_size = (512, 512)
+    enabled, opts = resolve_int8_opts(cfg.config)
+    assert enabled and opts['spatial_limit'] == 256
+
+    cfg.config.int8 = {'spatial_limit': 128}
+    enabled, opts = resolve_int8_opts(cfg.config)
+    assert enabled and opts['spatial_limit'] == 128
+
+
+def test_serving_postprocessor_presets_top_k():
+    """Anchor-heavy configs get pre_nms_top_k=1000 on the serving paths
+    (predict/test/export) while eval keeps the config-exact
+    postprocessor; a config that pins the key is respected."""
+    import numpy as np
+    from single_shot_detection_tpu.train.engine import Experiment
+    from single_shot_detection_tpu.utils.config import load_config
+
+    smoke = os.path.join(os.path.dirname(__file__), '..', 'samples',
+                         'synthetic_smoke.py')
+    cfg = load_config(smoke)
+    cfg.config.train = dict(cfg.config.train)
+    cfg.config.train['epochs'] = 0
+    exp = Experiment(cfg, phases=['eval'], debug=True)
+    # smoke has few anchors: preset must NOT kick in
+    assert exp.serving_postprocessor() is exp.postprocessor
+
+    # anchor-heavy: preset kicks in (anchors only read for their count)
+    exp.anchors = np.zeros((20000, 4), np.float32)
+    pp = exp.serving_postprocessor()
+    assert pp is not exp.postprocessor
+    assert pp.pre_nms_top_k == 1000
+    assert exp.postprocessor.pre_nms_top_k is None  # eval path untouched
+
+    # pinned key (even explicitly None) disables the preset
+    cfg2 = load_config(smoke)
+    cfg2.config.train = dict(cfg2.config.train)
+    cfg2.config.train['epochs'] = 0
+    cfg2.config.postprocess = dict(cfg2.config.postprocess)
+    cfg2.config.postprocess['pre_nms_top_k'] = None
+    exp2 = Experiment(cfg2, phases=['eval'], debug=True)
+    exp2.anchors = np.zeros((20000, 4), np.float32)
+    assert exp2.serving_postprocessor() is exp2.postprocessor
