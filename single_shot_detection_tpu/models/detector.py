@@ -126,6 +126,29 @@ class SharedConvPredictor(nn.Module):
         return outputs['score'], outputs['loc']
 
 
+def tum_stage_chunks(num_tums: int, n_stages: int):
+    """Split a TUM chain into per-pipeline-stage ``(a, b)`` segments.
+
+    Even spread, remainder to the EARLY stages (the last stage also runs
+    SFAM + extras + predictor + heads, so it gets the short straw).  The
+    first segment must be non-empty (stage 0 owns the base-feature prep
+    the first TUM consumes)."""
+    if n_stages < 2:
+        raise ValueError(f'n_stages must be >= 2, got {n_stages}')
+    base, rem = divmod(num_tums, n_stages)
+    sizes = [base + (1 if i < rem else 0) for i in range(n_stages)]
+    if sizes[0] == 0:
+        raise ValueError(
+            f'{n_stages} pipeline stages need at least {n_stages - 1} TUMs '
+            f'(got {num_tums})')
+    bounds = []
+    start = 0
+    for s in sizes:
+        bounds.append((start, start + s))
+        start += s
+    return bounds
+
+
 class Detector(nn.Module):
     """features -> extras -> [predictor towers] -> per-scale heads ->
     concatenated ``(scores [B, A, C], locs [B, A, 4])``
@@ -152,15 +175,38 @@ class Detector(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_sources: bool = False,
-                 stage: Optional[int] = None, stage_state=None):
+                 stage: Optional[int] = None, stage_state=None,
+                 n_stages: int = 2):
         """``stage`` exposes the pipeline-parallel seam
-        (parallel/pipeline.py): ``stage=0`` runs only the backbone/neck and
-        returns ``(sources, x)``; ``stage=1`` consumes that tuple via
-        ``stage_state`` and runs extras/predictor/heads.  ``stage=None``
-        (default) is the ordinary full forward.  Parameter names are
-        identical in all modes (every submodule here is explicitly named),
-        so one variable tree serves full and staged application."""
-        if stage == 1:
+        (parallel/pipeline.py).  With ``n_stages=2`` (default): ``stage=0``
+        runs only the backbone/neck and returns ``(sources, x)``;
+        ``stage=1`` consumes that tuple via ``stage_state`` and runs
+        extras/predictor/heads.  With ``n_stages > 2`` (M2Det's deep TUM
+        chain — needs a MultilevelFeaturePyramid neck) the chain is split
+        into per-stage TUM segments: stage 0 = backbone + base prep +
+        first segment, interior stages = TUM segments, last stage = final
+        segment + SFAM + extras/predictor/heads.  ``stage=None`` (default)
+        is the ordinary full forward.  Parameter names are identical in
+        all modes (every submodule here is explicitly named), so one
+        variable tree serves full and staged application."""
+        if stage is not None and n_stages > 2:
+            num_tums = getattr(self.features, 'num_tums', None)
+            if num_tums is None:
+                raise ValueError(
+                    f'n_stages={n_stages} pipeline stages need a '
+                    f'MultilevelFeaturePyramid neck (a TUM chain to split); '
+                    f'{type(self.features).__name__} supports 2 stages')
+            chunks = tum_stage_chunks(num_tums, n_stages)
+            a, b = chunks[stage]
+            if stage == 0:
+                return self.features(x, train=train, tum_range=(a, b))
+            if stage < n_stages - 1:
+                return self.features(None, train=train, tum_range=(a, b),
+                                     stage_state=stage_state)
+            sources, x = self.features(None, train=train, tum_range=(a, b),
+                                       stage_state=stage_state)
+            sources = list(sources)
+        elif stage == 1:
             sources, x = stage_state
             sources = list(sources)
         else:

@@ -280,26 +280,46 @@ class MultilevelFeaturePyramid(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, tum_range=None,
+                 stage_state=None):
+        """``tum_range=(a, b)`` runs a SEGMENT of the forward for pipeline
+        parallelism (parallel/pipeline.py, >2 stages): ``a == 0`` includes
+        the backbone + base-feature prep, ``b == num_tums`` includes the
+        final concat + SFAM (returning the ordinary ``(features, last)``);
+        interior segments take/return an opaque ``(base_features,
+        per-scale outputs so far)`` state.  Module names are identical in
+        segmented and full execution (everything here is explicitly
+        named), so one variable tree serves both."""
         assert len(self.out_layers) == len(self.base_reduced_channels)
         assert self.num_tums > 0
         tum_cfg = dict(self.tum or {'inner_channels': 256, 'out_channels': 128})
         sfam_cfg = dict(self.sfam or {})
 
-        stages, aux = self.base(x, train=train, max_stage=self.last_feature_layer)
-        sources = [aux[tuple(l)] if isinstance(l, (tuple, list)) else stages[l]
-                   for l in self.out_layers]
+        a, b = (0, self.num_tums) if tum_range is None else tum_range
+        assert 0 <= a <= b <= self.num_tums
 
         common = dict(activation=self.activation, axis_name=self.axis_name,
                       kernel_init=get_initializer(self.initializer, xavier),
                       dtype=self.dtype)
-        reduced = [ConvBn(c, kernel_size=1, name=f'base_reducer{i}', **common)(s, train)
-                   for i, (s, c) in enumerate(zip(sources, self.base_reduced_channels))]
 
-        upscaled = [reduced[0]] + [interpolate(r, reduced[0].shape[1:3],
-                                               self.interpolation_mode)
-                                   for r in reduced[1:]]
-        base_features = jnp.concatenate(upscaled, axis=-1)
+        if a == 0:
+            stages, aux = self.base(x, train=train,
+                                    max_stage=self.last_feature_layer)
+            sources = [aux[tuple(l)] if isinstance(l, (tuple, list))
+                       else stages[l] for l in self.out_layers]
+            reduced = [ConvBn(c, kernel_size=1, name=f'base_reducer{i}',
+                              **common)(s, train)
+                       for i, (s, c) in enumerate(
+                           zip(sources, self.base_reduced_channels))]
+
+            upscaled = [reduced[0]] + [interpolate(r, reduced[0].shape[1:3],
+                                                   self.interpolation_mode)
+                                       for r in reduced[1:]]
+            base_features = jnp.concatenate(upscaled, axis=-1)
+            per_scale = None
+        else:
+            base_features, per_scale_t = stage_state
+            per_scale = [list(fs) for fs in per_scale_t]
 
         make_tum = lambda i: ThinnedUshapeModule(
             num_scales=self.num_scales,
@@ -311,15 +331,20 @@ class MultilevelFeaturePyramid(nn.Module):
             **{k: v for k, v in tum_cfg.items()
                if k in ('inner_channels', 'out_channels')})
 
-        per_scale = [[f] for f in make_tum(0)(base_features, train)]
-
-        for i in range(1, self.num_tums):
+        for i in range(a, b):
+            if i == 0:
+                per_scale = [[f] for f in make_tum(0)(base_features, train)]
+                continue
             shallowest = per_scale[-1][-1]
             red = ConvBn(self.reduced_channels, kernel_size=1,
                          name=f'reducer{i}', **common)(base_features, train)
             tum_in = jnp.concatenate([shallowest, red], axis=-1)
             for s, feat in enumerate(make_tum(i)(tum_in, train)):
                 per_scale[s].append(feat)
+
+        if tum_range is not None and b < self.num_tums:
+            # interior pipeline segment: hand the chain state onward
+            return base_features, tuple(tuple(fs) for fs in per_scale)
 
         features = [jnp.concatenate(fs, axis=-1) for fs in reversed(per_scale)]
         features = ScalewiseFeatureAggregationModule(

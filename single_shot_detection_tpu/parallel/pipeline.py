@@ -28,10 +28,14 @@ Design — the idiomatic-JAX pipeline (no hand-written backward):
     selected into the result, so their gradient contribution is exactly
     zero.  Bubble fraction: (S-1)/(M+S-1).
 
-Scope: S = 2 stages (== the mesh's model-axis size); the forward runs
-``train=False`` — pipeline training is the frozen-BN / GroupNorm regime
-(batch statistics cannot be mutated inside a scanned, staged forward; the
-engine enforces ``train.frozen_bn`` or ``train.group_norm``).
+Scope: S = the mesh's model-axis size.  S = 2 splits any detector at the
+backbone/heads seam; S > 2 additionally splits the M2Det TUM chain into
+per-stage segments (models/detector.py ``n_stages`` + MLFPN
+``tum_range`` — the natural deep-model fit: 8 TUMs dominate m2det's 69M
+params).  The forward runs ``train=False`` — pipeline training is the
+frozen-BN / GroupNorm regime (batch statistics cannot be mutated inside a
+scanned, staged forward; the engine enforces ``train.frozen_bn`` or
+``train.group_norm``).
 """
 
 from __future__ import annotations
@@ -45,7 +49,7 @@ from jax.sharding import PartitionSpec as P
 
 from single_shot_detection_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
-N_STAGES = 2  # backbone/neck | extras/predictor/heads (detector.py seam)
+N_STAGES = 2  # default seam count: backbone/neck | extras/predictor/heads
 
 
 def _per_example_size(shapes) -> int:
@@ -98,15 +102,17 @@ def make_pipeline_apply(module, mesh, microbatches: int,
 
     Returns ``pipeline_apply(variables, images, train=False)`` producing
     the same ``(scores, locs)`` as the plain forward (pinned by
-    tests/test_pipeline.py), with stage 0 executing on model-axis index 0
-    and stage 1 on index 1.
+    tests/test_pipeline.py), with stage k executing on model-axis index k.
+    The stage count S is the mesh's model-axis size: 2 = the universal
+    backbone | heads seam; > 2 = M2Det TUM-chain segments
+    (models/detector.py ``n_stages``).
     """
     apply = apply if apply is not None else module.apply
     S = int(mesh.shape[MODEL_AXIS])
-    if S != N_STAGES:
+    if S < 2:
         raise ValueError(
-            f'pipeline parallelism needs a model axis of exactly {N_STAGES} '
-            f'(backbone | head stages), mesh has {S}')
+            f'pipeline parallelism needs a model axis of >= 2 stages, '
+            f'mesh has {S}')
     M = int(microbatches)
     if M < 1:
         raise ValueError(f'microbatches must be >= 1, got {M}')
@@ -127,37 +133,56 @@ def make_pipeline_apply(module, mesh, microbatches: int,
         b_local = batch // n_data
         b_micro = b_local // M
 
-        # trace-time stage boundary layouts (per microbatch)
+        # trace-time stage boundary layouts (per microbatch): chain
+        # eval_shape through the S-1 boundaries, then the final output
         img_m = jax.ShapeDtypeStruct((b_micro,) + images.shape[1:],
                                      images.dtype)
-        s0_shapes = jax.eval_shape(
-            lambda v, x: apply(v, x, train=False, stage=0), variables, img_m)
-        s1_shapes = jax.eval_shape(
-            lambda v, t: apply(v, None, train=False, stage=1, stage_state=t),
-            variables, s0_shapes)
-        size = max(_per_example_size(s0_shapes), _per_example_size(s1_shapes))
+        boundary_shapes = []
+        for k in range(S - 1):
+            if k == 0:
+                cur = jax.eval_shape(
+                    lambda v, x: apply(v, x, train=False, stage=0,
+                                       n_stages=S), variables, img_m)
+            else:
+                cur = jax.eval_shape(
+                    lambda v, t, _k=k: apply(v, None, train=False, stage=_k,
+                                             stage_state=t, n_stages=S),
+                    variables, boundary_shapes[-1])
+            boundary_shapes.append(cur)
+        out_shapes_m = jax.eval_shape(
+            lambda v, t: apply(v, None, train=False, stage=S - 1,
+                               stage_state=t, n_stages=S),
+            variables, boundary_shapes[-1])
+        size = max(max(_per_example_size(s) for s in boundary_shapes),
+                   _per_example_size(out_shapes_m))
 
         def body(variables, images):
             stage_idx = jax.lax.axis_index(MODEL_AXIS)
             micro = images.reshape((M, b_micro) + images.shape[1:])
 
-            def stage0(recv, img):
-                del recv
-                out = apply(variables, img, train=False, stage=0)
-                return _pack(out, size, buf_dtype)
+            def make_stage(k):
+                if k == 0:
+                    def stage_fn(recv, img):
+                        del recv
+                        out = apply(variables, img, train=False, stage=0,
+                                    n_stages=S)
+                        return _pack(out, size, buf_dtype)
+                else:
+                    def stage_fn(recv, img):
+                        del img
+                        state = _unpack(recv, boundary_shapes[k - 1])
+                        out = apply(variables, None, train=False, stage=k,
+                                    stage_state=state, n_stages=S)
+                        return _pack(out, size, buf_dtype)
+                return stage_fn
 
-            def stage1(recv, img):
-                del img
-                state = _unpack(recv, s0_shapes)
-                out = apply(variables, None, train=False, stage=1,
-                            stage_state=state)
-                return _pack(out, size, buf_dtype)
+            branches = tuple(make_stage(k) for k in range(S))
 
             def tick(carry, t):
                 recv, acc = carry
                 img = jax.lax.dynamic_index_in_dim(
                     micro, jnp.clip(t, 0, M - 1), 0, keepdims=False)
-                out = jax.lax.switch(stage_idx, (stage0, stage1), recv, img)
+                out = jax.lax.switch(stage_idx, branches, recv, img)
                 send = jax.lax.ppermute(out, MODEL_AXIS, perm)
                 # the last stage finishes microbatch m = t - (S-1); bubble
                 # ticks (invalid m) write nothing, so garbage never reaches
@@ -183,7 +208,7 @@ def make_pipeline_apply(module, mesh, microbatches: int,
             acc = jnp.where(stage_idx == S - 1, acc, jnp.zeros_like(acc))
             acc = jax.lax.psum(acc, MODEL_AXIS)
             flat = acc.reshape(M * b_micro, size)
-            return _unpack(flat, _batched(s1_shapes, M * b_micro))
+            return _unpack(flat, _batched(out_shapes_m, M * b_micro))
 
         out_shapes = jax.eval_shape(
             lambda v, x: apply(v, x, train=False), variables, images)

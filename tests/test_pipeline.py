@@ -113,8 +113,8 @@ def test_pipeline_composes_with_group_norm(rng):
 
 def test_pipeline_validation():
     bundle, variables = _bundle_and_vars()
-    with pytest.raises(ValueError, match='model axis of exactly 2'):
-        make_pipeline_apply(bundle.module, create_mesh(n_data=2, n_model=4),
+    with pytest.raises(ValueError, match='model axis of >= 2'):
+        make_pipeline_apply(bundle.module, create_mesh(n_data=8, n_model=1),
                             microbatches=2)
     mesh = create_mesh(n_data=4, n_model=2)
     papply = make_pipeline_apply(bundle.module, mesh, microbatches=4)
@@ -176,3 +176,65 @@ def test_engine_pipeline_rejects_nondividing_microbatches():
     cfg = _one_step_cfg(3)  # per-device batch 2 on the (4, 2) mesh
     with pytest.raises(ValueError, match='microbatches must divide'):
         Experiment(cfg, phases=['train'], debug=True)
+
+
+def _m2det_bundle_and_vars():
+    """Tiny M2Det (MLFPN, 4 TUMs, 3 scales) for the deep-pipeline tests."""
+    if 'm2det' not in _CACHE:
+        bundle = builder.build(
+            base={'name': 'mobilenet_v2', 'depth_multiplier': 0.35},
+            anchor_generator={'type': 'ssd', 'num_scales': 3,
+                              'min_scale': 0.2, 'max_scale': 0.9,
+                              'aspect_ratios': [[1.0]] * 3},
+            num_classes=NUM_CLASSES,
+            features={'name': 'MultilevelFeaturePyramid',
+                      'out_layers': (13, 18), 'num_scales': 3,
+                      'num_tums': 4,
+                      'base_reduced_channels': (64, 128),
+                      'reduced_channels': 32,
+                      'tum': {'inner_channels': 32, 'out_channels': 16}},
+            input_size=(IMG, IMG))
+        _CACHE['m2det'] = bundle
+        _CACHE['m2det_vars'] = bundle.init(jax.random.PRNGKey(0),
+                                           batch_size=8)
+    return _CACHE['m2det'], _CACHE['m2det_vars']
+
+
+@pytest.mark.parametrize('n_model,microbatches', [(4, 2), (2, 2)])
+def test_pipeline_deep_m2det_matches_plain(rng, n_model, microbatches):
+    """The N-stage schedule (TUM-chain segments, models/detector.py
+    n_stages + MLFPN tum_range) reproduces the plain M2Det forward —
+    at 4 stages (backbone+TUM0 | TUM1 | TUM2 | TUM3+SFAM+heads) and the
+    universal 2-stage seam."""
+    bundle, variables = _m2det_bundle_and_vars()
+    mesh = create_mesh(n_data=8 // n_model, n_model=n_model)
+    papply = make_pipeline_apply(bundle.module, mesh,
+                                 microbatches=microbatches)
+    images = jnp.asarray(rng.rand(8, IMG, IMG, 3).astype(np.float32))
+    ref_s, ref_l = bundle.module.apply(variables, images, train=False)
+    pp_s, pp_l = papply(variables, images)
+    np.testing.assert_allclose(np.asarray(pp_s), np.asarray(ref_s),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pp_l), np.asarray(ref_l),
+                               atol=1e-5)
+
+
+def test_deep_stages_need_mlfpn():
+    """>2 stages on a non-MLFPN detector raises the clear n_stages error
+    (there is no TUM chain to split)."""
+    bundle, variables = _bundle_and_vars()
+    papply = make_pipeline_apply(bundle.module,
+                                 create_mesh(n_data=2, n_model=4),
+                                 microbatches=2)
+    with pytest.raises(ValueError, match='supports 2 stages'):
+        papply(variables, jnp.zeros((16, IMG, IMG, 3), jnp.float32))
+
+
+def test_tum_stage_chunks():
+    from single_shot_detection_tpu.models.detector import tum_stage_chunks
+    assert tum_stage_chunks(8, 4) == [(0, 2), (2, 4), (4, 6), (6, 8)]
+    assert tum_stage_chunks(8, 3) == [(0, 3), (3, 6), (6, 8)]
+    assert tum_stage_chunks(2, 3) == [(0, 1), (1, 2), (2, 2)]
+    # degenerate: fewer TUMs than stages -> empty interior segments, which
+    # pass the chain state through unchanged (still correct, just wasteful)
+    assert tum_stage_chunks(1, 3) == [(0, 1), (1, 1), (1, 1)]
