@@ -180,17 +180,49 @@ target_assigner = {{'matched_threshold': 0.5, 'unmatched_threshold': 0.4}}
 """,
 }
 
-# matched experiment hyperparameters (photometric/crop augmentations
-# dropped: the reference's RandomCrop/HSV paths need real OpenCV which
-# this environment does not have)
+# matched experiment hyperparameters.  Two augmentation chains:
+#   hflip — the round-3 protocol (geometric flip only);
+#   full  — the reference flagship chain MINUS RandomAdjustHueSaturation
+#           (the only member that needs real OpenCV — HSV conversion;
+#           brightness/contrast/expand/crop are pure numpy on the
+#           reference side, bf/preprocessing/transforms.py:50-131 +
+#           functional/img.py:55-113, so both frameworks run them).
+AUG_CHAINS = {
+    'hflip': """
+augmentations = [
+    {{'name': 'RandomHorizontalFlip'}},
+]
+""",
+    'full': """
+augmentations = [
+    {{'name': 'ToFloat'}},
+    {{'name': 'RandomAdjustBrightness', 'args': {{'max_brightness_delta': .15}}}},
+    {{'name': 'RandomAdjustContrast', 'args': {{'contrast_delta_range': (.5, 1.5)}}}},
+    {{'name': 'RandomExpand', 'args': {{'aspect_ratio_range': (0.5, 2.0), 'area_range': (1.0, 16.0)}}}},
+    {{
+        'name': 'OneOf',
+        'args': {{
+            'transforms': [
+                {{'name': 'Identity'}},
+                {{'name': 'RandomCrop', 'args': {{'min_iou': .0}}}},
+                {{'name': 'RandomCrop', 'args': {{'min_iou': .1}}}},
+                {{'name': 'RandomCrop', 'args': {{'min_iou': .3}}}},
+                {{'name': 'RandomCrop', 'args': {{'min_iou': .5}}}},
+                {{'name': 'RandomCrop', 'args': {{'min_iou': .7}}}},
+                {{'name': 'RandomCrop', 'args': {{'min_iou': .9}}}},
+            ]
+        }}
+    }},
+    {{'name': 'RandomHorizontalFlip'}},
+]
+""",
+}
+
 COMMON_CFG = """
 seed = {seed}
 {family_sections}
 box_coder = {{'xy_scale': 10.0, 'wh_scale': 5.0}}
-
-augmentations = [
-    {{'name': 'RandomHorizontalFlip'}},
-]
+{aug_chain}
 
 preprocessing = [
     {{'name': 'ToFloatTensor', 'args': {{'normalize': True}}}},
@@ -427,13 +459,14 @@ def stage_dataset(workdir):
 
 
 def write_configs(workdir, csvs, epochs, seed=23, milestones='100,130',
-                  family='ssd_mb2', lr=2e-3):
+                  family='ssd_mb2', lr=2e-3, aug='hflip'):
     labels = repr(['background'] + [f'class_{i}'
                                     for i in range(1, NUM_CLASSES)])
-    # splice the family text in FIRST (it uses the same {{...}} escaping),
-    # then format the whole config once
-    template = COMMON_CFG.replace('{family_sections}',
-                                  FAMILY_SECTIONS[family])
+    # splice the family/augmentation text in FIRST (they use the same
+    # {{...}} escaping), then format the whole config once
+    template = (COMMON_CFG
+                .replace('{family_sections}', FAMILY_SECTIONS[family])
+                .replace('{aug_chain}', AUG_CHAINS[aug]))
     out = {}
     for flavor in ('ours', 'ref'):
         cfg = template.format(
@@ -543,6 +576,11 @@ def main():
                          "reproduce the pre-fix column in PARITY.md)")
     ap.add_argument('--skip-reference', action='store_true')
     ap.add_argument('--skip-ours', action='store_true')
+    ap.add_argument('--aug', default='hflip', choices=sorted(AUG_CHAINS),
+                    help="augmentation chain: 'hflip' (round-3 protocol) or "
+                         "'full' (the reference flagship chain minus the "
+                         "cv2-only HueSaturation: brightness, contrast, "
+                         "expand, OneOf(crops), hflip)")
     args = ap.parse_args()
 
     global TRAIN_N, EVAL_N
@@ -553,7 +591,8 @@ def main():
     lr = args.lr if args.lr is not None else \
         {'ssd_mb2': 2e-3, 'retina_mb1': 1e-3, 'm2det_mb2': 2e-3}[args.family]
     cfgs = write_configs(args.workdir, csvs, args.epochs, args.seed,
-                         args.milestones, family=args.family, lr=lr)
+                         args.milestones, family=args.family, lr=lr,
+                         aug=args.aug)
     print(f'staged dataset + configs under {args.workdir}', flush=True)
 
     results = {}
