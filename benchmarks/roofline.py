@@ -28,20 +28,36 @@ PEAK_HBM_BW = 819e9        # HBM bandwidth, B/s
 PEAK_F32_FLOPS = PEAK_BF16_FLOPS / 2
 
 
-def build_step(batch_size, img=300, dtype=jnp.bfloat16):
-    import __graft_entry__ as ge
+def build_step(batch_size, img=300, dtype=jnp.bfloat16, config=None,
+               frozen_bn=False):
     from benchmarks._util import synth_batch
     from single_shot_detection_tpu.train import (create_train_state,
                                                  make_train_step)
 
-    bundle = ge._flagship(img_size=img, dtype=dtype)
+    if config:
+        # any parity config by sample name (--config ssd_300_vgg16_voc)
+        import os
+        import sys
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        from benchmarks.parity_bench import build_from_config
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), 'samples', config + '.py')
+        cfg, bundle, criterion, assigner, _, tx = build_from_config(
+            path, dtype)
+        img_size = tuple(cfg.input_size)
+    else:
+        import __graft_entry__ as ge
+        bundle = ge._flagship(img_size=img, dtype=dtype)
+        _, criterion, assigner, tx = ge._training_pieces(bundle)
+        img_size = (img, img)
     anchors = bundle.anchors()
-    _, criterion, assigner, tx = ge._training_pieces(bundle)
     state = create_train_state(bundle.init(jax.random.PRNGKey(0)), tx)
     step = make_train_step(bundle.module, criterion, assigner, anchors, tx,
-                           donate=False)
+                           donate=False, frozen_bn=frozen_bn)
 
-    batch = synth_batch(batch_size, (img, img))
+    batch = synth_batch(batch_size, img_size,
+                        bundle.num_classes if config else 21)
     return step, state, batch
 
 
@@ -49,12 +65,19 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--batch', type=int, default=32)
     ap.add_argument('--f32', action='store_true')
+    ap.add_argument('--config', default=None,
+                    help='parity sample config name (default: the flagship '
+                         'ssd_mb2 geometry)')
+    ap.add_argument('--frozen-bn', action='store_true',
+                    help='analyze the frozen-BN fine-tune step')
     ap.add_argument('--time', action='store_true',
                     help='also time the step (needs a quiet host)')
     args = ap.parse_args()
 
     dtype = jnp.float32 if args.f32 else jnp.bfloat16
-    step, state, batch = build_step(args.batch, dtype=dtype)
+    step, state, batch = build_step(args.batch, dtype=dtype,
+                                    config=args.config,
+                                    frozen_bn=args.frozen_bn)
     key = jax.random.PRNGKey(1)
 
     lowered = step.lower(state, batch, key)
@@ -67,6 +90,8 @@ def main():
     bytes_acc = ca.get('bytes accessed', 0.0)
     peak = PEAK_F32_FLOPS if args.f32 else PEAK_BF16_FLOPS
     out = {
+        'config': args.config or 'ssd_mb2_flagship',
+        'frozen_bn': bool(args.frozen_bn),
         'batch': args.batch,
         'dtype': str(dtype.__name__ if hasattr(dtype, '__name__') else dtype),
         'compute_peak_flops': peak,
