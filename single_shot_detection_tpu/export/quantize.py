@@ -70,6 +70,11 @@ def resolve_int8_opts(cfg, log=None, batch_size=None):
     raw_cfg = getattr(cfg, 'config', cfg)
     int8_cfg = getattr(raw_cfg, 'int8', None)
     explicit = isinstance(int8_cfg, dict)
+    # a QAT run (train.qat) trained FOR the int8 serving path — that is
+    # an opt-in too; refusing --int8 there would discard the learned
+    # scales and silently serve float
+    if dict(getattr(cfg, 'train', None) or {}).get('qat'):
+        explicit = True
     opts = dict(int8_cfg or {})
     model_cfg = dict(getattr(cfg, 'model', None) or {})
     backbone = str(dict(model_cfg.get('base', {})).get('name', '')).lower()

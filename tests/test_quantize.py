@@ -270,3 +270,18 @@ def test_serving_postprocessor_presets_top_k():
     exp2 = Experiment(cfg2, phases=['eval'], debug=True)
     exp2.anchors = np.zeros((20000, 4), np.float32)
     assert exp2.serving_postprocessor() is exp2.postprocessor
+
+
+def test_qat_run_overrides_int8_gate():
+    """A train.qat config trained FOR int8 serving: the regression gate
+    must not refuse --int8 there (it would silently discard the learned
+    scales and serve float) — pinned after a round-4 regression."""
+    from single_shot_detection_tpu.export.quantize import resolve_int8_opts
+    from single_shot_detection_tpu.utils.config import load_config
+    smoke = os.path.join(os.path.dirname(__file__), '..', 'samples',
+                         'synthetic_smoke.py')
+    cfg = load_config(smoke)  # mobilenet at batch 8 = gated point
+    assert not resolve_int8_opts(cfg)[0]
+    cfg.config.train = dict(cfg.config.train)
+    cfg.config.train['qat'] = True
+    assert resolve_int8_opts(cfg)[0]
