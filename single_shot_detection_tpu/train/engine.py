@@ -779,6 +779,10 @@ class Experiment:
         # from HBM — no decode, no host->device pixel transfer.  Bitwise
         # identical batch stream (data/device_cache.py).
         self._device_cache = None
+        # eval replay cache (same knob): eval batches are identical every
+        # epoch, so the first eval's sharded device batches are kept and
+        # replayed — recurring evals run host-free (engine.evaluate)
+        self._eval_cache = None
         dc_cfg = train_cfg.get('device_cache')
         if dc_cfg and 'train' in self.loaders:
             if process_count > 1:
@@ -1202,11 +1206,25 @@ class Experiment:
         sums_dev = None
         pending = []  # per-batch device arrays + host ids, drained post-loop
 
-        staged = (((bidx, np.asarray(batch['ids'])),
-                   {'image': batch['image'], 'boxes': batch['boxes'],
-                    'box_mask': batch['box_mask'], 'ids': batch['ids']}, 0)
-                  for bidx, batch in enumerate(loader))
-        for (bidx, host_ids), raw in self._prefetch_shard(staged):
+        # eval batches are IDENTICAL every epoch (no shuffle, salt = batch
+        # index), so under train.device_cache the first eval's sharded
+        # device batches replay for every later eval — recurring evals
+        # never touch the host loader or the transfer link
+        filling = None
+        if self._eval_cache is not None:
+            batch_source = iter(self._eval_cache)
+        else:
+            staged = (((bidx, np.asarray(batch['ids'])),
+                       {'image': batch['image'], 'boxes': batch['boxes'],
+                        'box_mask': batch['box_mask'], 'ids': batch['ids']},
+                       0)
+                      for bidx, batch in enumerate(loader))
+            batch_source = self._prefetch_shard(staged)
+            if self._device_cache is not None:
+                filling = []
+        for (bidx, host_ids), raw in batch_source:
+            if filling is not None:
+                filling.append(((bidx, host_ids), raw))
             device_batch, full_boxes = self._augment(raw, train=False,
                                                      salt=bidx, with_full=True)
             # padding rows of the last partial batch carry id -1 and must not
@@ -1222,6 +1240,9 @@ class Experiment:
                             # pipeline-space GT (input_size coords, 7 cols
                             # incl. difficult)
                             'gt': full_boxes, 'ids': host_ids})
+
+        if filling is not None:
+            self._eval_cache = filling
 
         pulled_sums = (np.asarray(jax.device_get(sums_dev))
                        if sums_dev is not None else np.zeros(len(sum_keys)))

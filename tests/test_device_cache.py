@@ -69,3 +69,26 @@ def test_device_cache_over_budget_falls_back():
     exp, _ = _run(device_cache=False, epochs=0)
     cache = make_device_cache(exp.loaders['train'], {'max_bytes': 1024})
     assert cache is None  # over budget -> disabled, streaming continues
+
+
+def test_eval_replay_cache_matches_fresh_eval():
+    """Under train.device_cache, the first eval's sharded device batches
+    replay for later evals (eval batches are identical every epoch) —
+    results must be bitwise equal to a fresh no-cache eval."""
+    cfg = load_config(SMOKE)
+    cfg.config.train['epochs'] = 0
+    cfg.config.train['device_cache'] = True
+    exp = Experiment(cfg, phases=['train', 'eval'], debug=True)
+    assert exp._eval_cache is None
+    first = exp.evaluate()
+    assert exp._eval_cache, 'eval replay cache did not fill'
+    replay = exp.evaluate()  # served from the device-batch replay
+    assert first == replay
+
+    cfg2 = load_config(SMOKE)
+    cfg2.config.train['epochs'] = 0
+    exp2 = Experiment(cfg2, phases=['train', 'eval'], debug=True)
+    assert exp2._eval_cache is None
+    fresh = exp2.evaluate()
+    assert exp2._eval_cache is None  # knob off -> no retention
+    assert fresh == first
