@@ -84,7 +84,7 @@ def bench_device_step(dtype, batch_size=BATCH):
     return batch_size * STEPS / elapsed
 
 
-def stage_jpeg_dataset(root):
+def stage_jpeg_dataset(root, images=None):
     """Write a VOC-scale synthetic JPEG dataset + Csv annotations."""
     from PIL import Image
 
@@ -92,7 +92,7 @@ def stage_jpeg_dataset(root):
     palette = np.random.RandomState(1234).randint(64, 255, size=(21, 3))
     rows = []
     w, h = 500, 375  # typical VOC image size
-    for n in range(E2E_IMAGES):
+    for n in range(images if images is not None else E2E_IMAGES):
         img = rng.randint(0, 48, size=(h, w, 3), dtype=np.uint8)
         for _ in range(rng.randint(1, 6)):
             bw = rng.randint(w // 8, w // 2)
@@ -112,7 +112,8 @@ def stage_jpeg_dataset(root):
 
 
 def bench_end_to_end(bf16, staging_colorspace='rgb', staging_cache=False,
-                     device_cache=False):
+                     device_cache=False, batch_size=BATCH,
+                     images=E2E_IMAGES):
     """A user's epoch: main.py's Experiment on a staged JPEG dataset.
 
     ``staging_colorspace='yuv420'`` measures the packed-YUV staging path
@@ -133,13 +134,14 @@ def bench_end_to_end(bf16, staging_colorspace='rgb', staging_cache=False,
     from single_shot_detection_tpu.utils.config import load_config
 
     with tempfile.TemporaryDirectory() as root:
-        csv_path = stage_jpeg_dataset(root)
+        csv_path = stage_jpeg_dataset(root, images=images)
         cfg = load_config(os.path.join(os.path.dirname(__file__),
                                        'samples', 'ssd_mb2_voc.py'))
         cfg.config.dataset = {
             'train': {'name': 'Csv', 'path': csv_path},
             'labels': VOC_LABELS,
         }
+        cfg.config.batch_size = batch_size
         cfg.config.train['epochs'] = 1
         cfg.config.train['eval_every'] = 99
         cfg.config.train['staging_colorspace'] = staging_colorspace
@@ -162,8 +164,8 @@ def bench_end_to_end(bf16, staging_colorspace='rgb', staging_cache=False,
             t0 = time.perf_counter()
             exp.train()
             per_epoch.append(time.perf_counter() - t0)
-    steps_per_epoch = E2E_IMAGES // BATCH
-    images = steps_per_epoch * BATCH
+    steps_per_epoch = images // batch_size
+    images = steps_per_epoch * batch_size
     rates = sorted(images / t for t in per_epoch)
     # relay-attached TPUs have high between-epoch transfer-bandwidth
     # variance (docs/PERF.md): report the mean but also best/median
@@ -227,6 +229,11 @@ def main():
                         staging_colorspace='yuv420', staging_cache=True)
     e2e_device = _retry(bench_end_to_end, bf16=on_tpu,
                         staging_colorspace='yuv420', device_cache=True)
+    # the flagship-batch cached e2e: 1024-image epochs at b128 amortize
+    # the per-epoch bookkeeping the 8-step b32 epochs cannot
+    e2e_device_b128 = _retry(bench_end_to_end, bf16=on_tpu,
+                             staging_colorspace='yuv420', device_cache=True,
+                             batch_size=BATCH_LARGE, images=1024)
 
     # BASELINE.json's stated metric is images/sec/chip: the headline `value`
     # is the device train step at the flagship batch (128 — see module
@@ -266,6 +273,8 @@ def main():
         # (data/device_cache.py); e2e converges toward the device step
         'end_to_end_img_s_device_cached': round(e2e_device['median'], 2),
         'end_to_end_img_s_device_cached_best': round(e2e_device['best'], 2),
+        'end_to_end_img_s_device_cached_b128': round(
+            e2e_device_b128['median'], 2),
         # like-for-like ratio: e2e pipeline vs the e2e GPU estimate
         'end_to_end_vs_baseline': round(e2e['median'] / REFERENCE_GPU_IMG_S,
                                         3),
