@@ -266,6 +266,16 @@ def main():
         if args.configs and name.replace('.py', '') not in args.configs:
             continue
         batch = args.batch or batch
+        if args.infer_only and args.batch is None and batch % 8:
+            # serving measurement with no explicit batch: the batch is OURS
+            # to choose, and a misaligned one pads to the 8-wide sublane
+            # tile and wastes the padding on every activation pass
+            # (+29-31% measured on the b12 configs; docs/PERF.md) — align
+            # it by default, like the rest of the serving preset
+            aligned = batch + (-batch) % 8
+            print(f'    [{name}] serving batch {batch} -> {aligned} '
+                  f'(8-wide tile alignment; --batch to pin)', flush=True)
+            batch = aligned
         pp_kw = dict(pre_nms_top_k=args.pre_nms_top_k,
                      approx_top_k=args.approx_top_k,
                      recall_target=args.recall_target)
@@ -273,7 +283,8 @@ def main():
                            frozen_bn=args.frozen_bn, int8=args.int8,
                            group_norm=args.group_norm, preset=args.preset,
                            infer_only=args.infer_only, **pp_kw))
-        if name in ALIGNED and not args.no_aligned and args.batch is None:
+        if (name in ALIGNED and not args.no_aligned and args.batch is None
+                and not args.infer_only):
             rows.append(_retry(bench_config, name, ALIGNED[name], dtype,
                                args.steps, frozen_bn=args.frozen_bn,
                                group_norm=args.group_norm,

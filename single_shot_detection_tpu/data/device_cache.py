@@ -42,11 +42,16 @@ class DeviceDatasetCache:
         path, but from HBM.
     """
 
-    def __init__(self, loader, max_bytes: int = 4 << 30):
+    def __init__(self, loader, max_bytes: int = 4 << 30,
+                 process_count: int = 1, process_index: int = 0):
         n = len(loader.dataset)
         probe = self._record_shapes(loader)
         img_shape, nbytes = probe
         total = n * nbytes
+        # HBM footprint + budget, exposed so the eval replay cache
+        # (engine.evaluate) can charge itself against the SAME budget
+        self.total_bytes = total
+        self.max_bytes = max_bytes
         self.ok = total <= max_bytes
         if not self.ok:
             logging.warning(
@@ -56,15 +61,33 @@ class DeviceDatasetCache:
                 f'falling back to host streaming')
             return
         self.n = n
-        self.images = np.zeros((n,) + img_shape, np.uint8)
-        self.boxes = np.zeros((n, loader.max_gt, 7), np.float32)
-        self.mask = np.zeros((n, loader.max_gt), bool)
-        self.seen = np.zeros((n,), bool)
+        self.process_count = process_count
+        self.process_index = process_index
+        # multi-host: the cache is ONE global array row-sharded over the
+        # data axis; each host stages only its contiguous block (process
+        # order — exactly the rows make_array_from_process_local_data
+        # expects from it).  Rows a host never sees in its own loader
+        # shard are topped up directly at finalize.  Gathers then use
+        # GLOBAL dataset indices; GSPMD moves rows between hosts over ICI.
+        self._row_lo = 0
+        n_local = n
+        if process_count > 1:
+            n_local = (n + (-n) % process_count) // process_count
+            self._row_lo = process_index * n_local
+        self.n_local = n_local
+        self._cache_stride = n_local  # finalize adds the block padding
+        self.images = np.zeros((n_local,) + img_shape, np.uint8)
+        self.boxes = np.zeros((n_local, loader.max_gt, 7), np.float32)
+        self.mask = np.zeros((n_local, loader.max_gt), bool)
+        self.seen = np.zeros((n_local,), bool)
+        # block rows past the dataset end (wrap padding) have no content
+        self.seen[max(0, n - self._row_lo):] = True
         self.device = None  # set by finalize()
         self._gathers = {}
         self._sharding_builder = None
-        logging.info(f'II device cache: reserving {total / 2**30:.2f} GiB '
-                     f'host staging for {n} records {img_shape}')
+        logging.info(f'II device cache: reserving '
+                     f'{n_local * nbytes / 2**30:.2f} GiB host staging for '
+                     f'{n_local} records {img_shape}')
 
     @staticmethod
     def _record_shapes(loader) -> Tuple[tuple, int]:
@@ -88,8 +111,11 @@ class DeviceDatasetCache:
         if not self.ok or self.device is not None:
             return
         ids = np.asarray(batch['ids'])
-        valid = ids >= 0
-        idx = ids[valid]
+        # multi-host: keep only the rows of THIS host's block, at local
+        # offsets (a host's loader shard is a shuffled subset — only ~1/P
+        # of it lands in its block; the rest top up at finalize)
+        valid = (ids >= self._row_lo) & (ids < self._row_lo + self.n_local)
+        idx = ids[valid] - self._row_lo
         self.images[idx] = np.asarray(batch['image'])[valid]
         self.boxes[idx] = np.asarray(batch['boxes'])[valid]
         self.mask[idx] = np.asarray(batch['box_mask'])[valid]
@@ -110,7 +136,7 @@ class DeviceDatasetCache:
         (tests/test_device_cache.py)."""
         if not self.ok or self.device is not None:
             return
-        missing = np.flatnonzero(~self.seen)
+        missing = np.flatnonzero(~self.seen) + self._row_lo
         if len(missing):
             from concurrent.futures import ThreadPoolExecutor
             with ThreadPoolExecutor(max_workers=loader.num_workers) as pool:
@@ -120,13 +146,24 @@ class DeviceDatasetCache:
         assert bool(self.seen.all())
         host = {'image': self.images, 'boxes': self.boxes,
                 'box_mask': self.mask}
-        pad = (-self.n) % max(row_divisor, 1)
+        # the row axis shards over the data mesh axis; each host's block
+        # pads to its LOCAL device count so the global concatenation (in
+        # process order — make_array_from_process_local_data's contract)
+        # is divisible.  Gather indices never reference the zero rows:
+        # dataset index -> cached row via _cache_stride block arithmetic.
+        local_div = max(row_divisor, 1)
+        if self.process_count > 1:
+            if row_divisor % self.process_count:
+                raise ValueError(
+                    f'device_cache: data-axis size {row_divisor} must be '
+                    f'divisible by process_count {self.process_count}')
+            local_div = row_divisor // self.process_count
+        pad = (-self.n_local) % local_div
         if pad:
-            # the row axis shards over the data mesh axis; pad to divisible
-            # (gather indices never reference the zero rows)
             host = {k: np.concatenate([v, np.zeros((pad,) + v.shape[1:],
                                                    v.dtype)])
                     for k, v in host.items()}
+        self._cache_stride = self.n_local + pad
         self.device = shard_fn(host)
         # free the host staging copies — the device is the source of truth
         self.images = self.boxes = self.mask = None
@@ -160,15 +197,37 @@ class DeviceDatasetCache:
         """Yield ``(kind, device_batch)`` for one epoch, mirroring the
         loader+``_train_batches`` stream exactly: same (seed + epoch)
         permutation, same drop_last truncation, same fused chunking,
-        same ``num_batches`` cap."""
+        same ``num_batches`` cap.
+
+        Multi-host: the yielded batch is the GLOBAL batch — index row b is
+        the process-order concatenation of every host's streaming batch b
+        (``make_global_batch``'s layout), gathered from the row-sharded
+        global cache in one SPMD program.  Every host computes the same
+        index arrays (the permutation is (seed + epoch)-deterministic), so
+        the numpy indices act as replicated jit inputs."""
         import jax
 
         loader.epoch = epoch  # _indices reads it (same as the host path)
-        order = loader._indices()
-        nb = len(order) // loader.batch_size  # drop_last (train loaders)
-        if num_batches is not None:
-            nb = min(nb, num_batches)
-        order = order[:nb * loader.batch_size].reshape(nb, loader.batch_size)
+        B = loader.batch_size
+        P = loader.process_count
+        if P > 1:
+            g = loader._global_order()
+            shards = np.stack([g[p::P] for p in range(P)])  # [P, m]
+            nb = shards.shape[1] // B  # drop_last (train loaders)
+            if num_batches is not None:
+                nb = min(nb, num_batches)
+            order = (shards[:, :nb * B].reshape(P, nb, B)
+                     .transpose(1, 0, 2).reshape(nb, P * B))
+        else:
+            order = loader._indices()
+            nb = len(order) // B
+            if num_batches is not None:
+                nb = min(nb, num_batches)
+            order = order[:nb * B].reshape(nb, B)
+        # dataset index -> cached row (hosts' blocks concatenate with
+        # per-block padding; identity when single-process)
+        order = ((order // self.n_local) * self._cache_stride
+                 + order % self.n_local)
         pos = 0
         while pos < nb:
             if fused_k > 1 and pos + fused_k <= nb:
@@ -183,12 +242,15 @@ class DeviceDatasetCache:
                 pos += 1
 
 
-def make_device_cache(loader, cfg) -> Optional[DeviceDatasetCache]:
+def make_device_cache(loader, cfg, process_count: int = 1,
+                      process_index: int = 0) -> Optional[DeviceDatasetCache]:
     """Build from the ``train.device_cache`` config knob: ``True`` or
     ``{'max_bytes': int}``; returns None when disabled/over-budget."""
     if not cfg:
         return None
     opts = dict(cfg) if isinstance(cfg, dict) else {}
     cache = DeviceDatasetCache(loader,
-                               max_bytes=int(opts.get('max_bytes', 4 << 30)))
+                               max_bytes=int(opts.get('max_bytes', 4 << 30)),
+                               process_count=process_count,
+                               process_index=process_index)
     return cache if cache.ok else None

@@ -96,7 +96,11 @@ class Loader:
             self.cache = StagingCache(cache_dir, dataset, self.staging_size,
                                       staging_colorspace)
 
-    def _indices(self) -> np.ndarray:
+    def _global_order(self) -> np.ndarray:
+        """The (seed + epoch)-deterministic global permutation, wrap-padded
+        to a process_count multiple.  Shared by :meth:`_indices` and the
+        device cache's multi-host batch-index builder
+        (data/device_cache.py) so the two can never drift."""
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
@@ -109,7 +113,10 @@ class Loader:
         pad = (-n) % self.process_count
         if pad:
             order = np.concatenate([order, order[:pad]])
-        return order[self.process_index::self.process_count]
+        return order
+
+    def _indices(self) -> np.ndarray:
+        return self._global_order()[self.process_index::self.process_count]
 
     def __len__(self):
         n = len(self._indices())

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import logging
 import os
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -60,7 +61,8 @@ def _calibration_images(experiment, n_batches: int = 2):
 
 
 def make_inference_fn(experiment, with_postprocess: bool = False,
-                      int8: bool = False, with_preprocess: bool = False):
+                      int8: bool = False, with_preprocess: bool = False,
+                      batch_size: Optional[int] = None):
     """Build the standalone inference function.
 
     Default (parity with onnx export, detector.py:68-72): returns softmaxed
@@ -75,12 +77,13 @@ def make_inference_fn(experiment, with_postprocess: bool = False,
     module, variables = _deploy_model(experiment)
     return _make_inference_fn_for(experiment, module, with_postprocess,
                                   variables=variables, int8=int8,
-                                  with_preprocess=with_preprocess)
+                                  with_preprocess=with_preprocess,
+                                  batch_size=batch_size)
 
 
 def _make_inference_fn_for(experiment, module, with_postprocess,
                            variables=None, int8=False,
-                           with_preprocess=False):
+                           with_preprocess=False, batch_size=None):
     anchors = jnp.asarray(experiment.anchors)
     coder = experiment.box_coder
     # serving preset: anchor-heavy configs get pre_nms_top_k baked unless
@@ -99,14 +102,22 @@ def _make_inference_fn_for(experiment, module, with_postprocess,
         apply_fn = _norm.group_norm_apply(module, gn_groups)
     if int8:
         from single_shot_detection_tpu.export import quantize
-        enabled, opts = quantize.resolve_int8_opts(experiment.cfg)
+        # gate on the batch the ARTIFACT will serve (the measured
+        # regression is a serving-batch property), falling back to the
+        # config's training batch only when no serving batch is known
+        enabled, opts = quantize.resolve_int8_opts(experiment.cfg,
+                                                   batch_size=batch_size)
         if not enabled:
+            gate_batch = (batch_size if batch_size is not None
+                          else getattr(experiment.cfg, 'batch_size', None))
             # an export artifact silently falling back to float would ship
             # the wrong program — refuse with the recipe instead
             raise ValueError(
-                'int8 export refused: this backbone/batch point was '
-                'measured to regress under int8 (docs/SERVING.md). Set an '
-                'explicit ``int8 = {...}`` config block to force it.')
+                f'int8 export refused: this backbone at batch {gate_batch} '
+                f'{"(the config training batch — pass batch_size to gate on "
+                   "the serving batch) " if batch_size is None else ""}'
+                'was measured to regress under int8 (docs/SERVING.md). Set '
+                'an explicit ``int8 = {...}`` config block to force it.')
         # an Experiment that already calibrated (--int8 eval before export)
         # holds valid per-conv amax for ITS OWN module at the CURRENT
         # weights; a materialized (pruned-narrow) module has different conv
@@ -184,10 +195,21 @@ def export_model(experiment, path: str, with_postprocess: bool = False,
     (tools/infer_exported.py consumes these).
     """
     os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
+    if batch_size > 1 and batch_size % 8:
+        # the artifact's batch is baked into the StableHLO program: a
+        # misaligned one pads to the 8-wide sublane tile on EVERY
+        # activation pass for the artifact's whole life (+29-31% measured
+        # from aligning; docs/PERF.md).  batch 1 (latency serving) exempt.
+        logging.warning(
+            f'WW export batch_size {batch_size} is not a multiple of 8 — '
+            f'TPU pads it to {batch_size + (-batch_size) % 8}; exporting '
+            f'at the aligned batch is measured 29-31% faster per image '
+            f'(docs/PERF.md)')
     module, variables = _deploy_model(experiment)
     infer = _make_inference_fn_for(experiment, module, with_postprocess,
                                    variables=variables, int8=int8,
-                                   with_preprocess=with_preprocess)
+                                   with_preprocess=with_preprocess,
+                                   batch_size=batch_size)
     w, h = experiment.input_size
     images = jnp.zeros((batch_size, h, w, 3), jnp.float32)
 

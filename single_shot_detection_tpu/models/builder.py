@@ -70,22 +70,67 @@ class DetectorBundle:
         return self.module.init(rng, dummy, train=False)
 
 
+def _torchhub_cache_dirs(hub_dir=None):
+    import os
+    if hub_dir:
+        return [str(hub_dir)]
+    dirs = []
+    if os.environ.get('TORCH_HOME'):
+        dirs.append(os.path.join(os.environ['TORCH_HOME'], 'hub'))
+    dirs.append(os.path.expanduser('~/.cache/torch/hub'))
+    return dirs
+
+
+def resolve_torchhub(name: str, hub_dir=None) -> Tuple[str, Optional[str]]:
+    """Resolve a ``torchhub://repo:model`` backbone OFFLINE.
+
+    The reference downloaded arbitrary torch-hub modules at runtime
+    (base_builder.py:60-63); a TPU/flax build has no torch-module runtime
+    (and typically no egress), so the supported subset is: ``model`` names
+    a REGISTRY backbone, and its pretrained weights — if any — come from a
+    local torch-hub cache (``base.hub_dir`` > ``$TORCH_HOME/hub`` >
+    ``~/.cache/torch/hub``), whose ``checkpoints/`` dir is searched for a
+    ``<model>*.pth`` state_dict (torch hub's own download layout).
+
+    Returns ``(registry_name, weight_path_or_None)``; raises with the
+    recipe when the model is not a registry backbone.
+    """
+    import os
+    spec = name[len('torchhub://'):]
+    model = spec.rsplit(':', 1)[-1].strip()
+    if model not in backbones.available():
+        raise ValueError(
+            f'{name!r}: torch-hub modules cannot run on a flax/TPU build; '
+            f'only registry backbones can be resolved offline '
+            f'({", ".join(backbones.available()[:6])}, ...). Either use a '
+            f'registry name directly, or load torch weights from a file '
+            f"via base={{'weight': 'state_dict.pt'}} "
+            f'(utils/torch_import.py).')
+    weight = None
+    for d in _torchhub_cache_dirs(hub_dir):
+        ckpt_dir = os.path.join(d, 'checkpoints')
+        if not os.path.isdir(ckpt_dir):
+            continue
+        hits = sorted(f for f in os.listdir(ckpt_dir)
+                      if f.startswith(model) and f.endswith(('.pth', '.pt')))
+        if hits:
+            weight = os.path.join(ckpt_dir, hits[0])
+            break
+    return model, weight
+
+
 def create_base(name: str, axis_name=None, dtype=jnp.float32, **kwargs):
     """Instantiate a backbone by registry name (parity: base_builder.py:59-86).
 
     ``pretrained``/``weight`` handling happens at the train-state level via
     the torch-weight importer (utils/torch_import.py), not here — flax
-    modules are stateless.
+    modules are stateless.  ``torchhub://repo:model`` resolves offline to a
+    registry backbone + local hub-cache weights (:func:`resolve_torchhub`).
     """
     if name.startswith('torchhub://'):
-        # reference base_builder.py:60-63 downloaded arbitrary torch-hub
-        # models at runtime; a TPU/flax build has no torch-module runtime
-        # (and this environment has no egress) — point at the supported path
-        raise ValueError(
-            f'{name!r}: torch-hub backbones are not supported. Use a '
-            f'registry backbone ({", ".join(backbones.available()[:6])}, ...) '
-            f'and load torch weights from a file via '
-            f"base={{'weight': 'state_dict.pt'}} (utils/torch_import.py).")
+        name, _ = resolve_torchhub(name, kwargs.pop('hub_dir', None))
+    else:
+        kwargs.pop('hub_dir', None)
     factory = backbones.get(name)
     return factory(axis_name=axis_name, dtype=dtype, **kwargs)
 

@@ -342,6 +342,20 @@ class Experiment:
         from single_shot_detection_tpu import parallel
         self.process_count = process_count
         batch_size = cfg.batch_size or 32
+        if 'train' in self.phases and batch_size % 8:
+            # TPU activation layouts tile the batch dim into 8-wide
+            # sublanes: a misaligned batch pads up and wastes the padding
+            # on EVERY activation pass (+29-31% measured at the reference
+            # GPU-artifact batch 12: vgg512 122->160, retina 180->231
+            # img/s — docs/PERF.md).  The config batches are kept verbatim
+            # for parity, so this is a warning, not a rewrite.
+            logging.warning(
+                f'WW batch_size {batch_size} is not a multiple of 8: TPU '
+                f'tiles the batch into 8-wide sublanes, so this pads to '
+                f'{batch_size + (-batch_size) % 8} and wastes '
+                f'{((-batch_size) % 8) / (batch_size + (-batch_size) % 8):.0%} '
+                f'of every activation pass (+29-31% throughput measured '
+                f'from aligning; docs/PERF.md)')
         # tensor parallelism (train.tensor_sharding, beyond-parity): size of
         # the mesh's model axis; conv output channels + BN params shard over
         # it (parallel.tensor_state_sharding) and GSPMD propagates
@@ -533,6 +547,17 @@ class Experiment:
         # torchvision download replaced by a user-provided torch state_dict,
         # converted layout-wise by utils/torch_import.py)
         base_cfg = dict(model_cfg.get('base', {}))
+        if str(base_cfg.get('name', '')).startswith('torchhub://'):
+            # offline torch-hub: registry backbone + local hub-cache
+            # state_dict (models/builder.resolve_torchhub); an explicit
+            # base.weight still wins
+            hub_name, hub_weight = model_builder.resolve_torchhub(
+                base_cfg['name'], base_cfg.get('hub_dir'))
+            base_cfg['name'] = hub_name
+            if hub_weight and not base_cfg.get('weight'):
+                logging.info(f'>> torchhub: resolved {hub_name!r} weights '
+                             f'from the local hub cache: {hub_weight}')
+                base_cfg['weight'] = hub_weight
         base_weight = base_cfg.get('weight')
 
         def _adopt_imported(new_vars):
@@ -779,21 +804,23 @@ class Experiment:
         # from HBM — no decode, no host->device pixel transfer.  Bitwise
         # identical batch stream (data/device_cache.py).
         self._device_cache = None
-        # eval replay cache (same knob): eval batches are identical every
-        # epoch, so the first eval's sharded device batches are kept and
-        # replayed — recurring evals run host-free (engine.evaluate)
+        # eval replay cache: eval batches are identical every epoch, so the
+        # first eval's sharded device batches are kept and replayed —
+        # recurring evals run host-free (engine.evaluate).  Honors
+        # ``train.device_cache`` OR ``eval.device_cache`` (an eval-only
+        # ``--phases eval`` run has no train loader but still wins 9.6x on
+        # recurring evals); byte-budgeted jointly with the train cache.
         self._eval_cache = None
         dc_cfg = train_cfg.get('device_cache')
+        eval_dc = dict(cfg.eval or {}).get('device_cache', dc_cfg)
+        self._eval_replay_cfg = (eval_dc if process_count == 1 else None)
         if dc_cfg and 'train' in self.loaders:
-            if process_count > 1:
-                logging.warning('WW train.device_cache is single-process '
-                                'only (per-host caches would double-count '
-                                'global rows); streaming from host')
-            else:
-                from single_shot_detection_tpu.data.device_cache import \
-                    make_device_cache
-                self._device_cache = make_device_cache(
-                    self.loaders['train'], dc_cfg)
+            from single_shot_detection_tpu.data.device_cache import \
+                make_device_cache
+            self._device_cache = make_device_cache(
+                self.loaders['train'], dc_cfg,
+                process_count=process_count,
+                process_index=process_index)
         # under QAT, eval/predict run the fake-quant forward too (read-only
         # scales) so reported mAP reflects the quantized serving behavior
         self.eval_step = make_eval_step(
@@ -806,6 +833,7 @@ class Experiment:
         # analog): calibration is lazy — it needs real eval batches — and
         # swaps eval/predict to the quantized forward on first use
         self.int8 = bool(int8)
+        self._int8_requested = bool(int8)
         self._int8_amax = None
         self._int8_calib_step = None
 
@@ -1131,7 +1159,13 @@ class Experiment:
         # 'spatial_limit': S}; the measured serving preset auto-picks
         # spatial_limit on 512 inputs and refuses the measured-regression
         # points (mobilenet below b128) — quantize.resolve_int8_opts
-        enabled, opts = quantize.resolve_int8_opts(self.cfg)
+        # the regression gate keys off the SERVING batch (the measured
+        # property), not the training batch — an mb2 trained at b32 but
+        # evaluated/served at b>=128 is in the measured win region
+        serving_batch = (self.loaders['eval'].batch_size
+                         if 'eval' in self.loaders else None)
+        enabled, opts = quantize.resolve_int8_opts(self.cfg,
+                                                   batch_size=serving_batch)
         if not enabled:
             self.int8 = False
             return
@@ -1207,10 +1241,12 @@ class Experiment:
         pending = []  # per-batch device arrays + host ids, drained post-loop
 
         # eval batches are IDENTICAL every epoch (no shuffle, salt = batch
-        # index), so under train.device_cache the first eval's sharded
-        # device batches replay for every later eval — recurring evals
-        # never touch the host loader or the transfer link
+        # index), so under train.device_cache / eval.device_cache the first
+        # eval's sharded device batches replay for every later eval —
+        # recurring evals never touch the host loader or the transfer link
         filling = None
+        filled_bytes = 0
+        replay_budget = 0
         if self._eval_cache is not None:
             batch_source = iter(self._eval_cache)
         else:
@@ -1220,11 +1256,33 @@ class Experiment:
                        0)
                       for bidx, batch in enumerate(loader))
             batch_source = self._prefetch_shard(staged)
-            if self._device_cache is not None:
+            if self._eval_replay_cfg:
+                # byte-budgeted: the replay cache pins device batches in
+                # HBM for the life of the run, so it charges against the
+                # same budget as the train cache (max_bytes, default 4 GiB,
+                # minus the train cache's actual footprint) and falls back
+                # to streaming — an optimization must never become an OOM
+                opts = (dict(self._eval_replay_cfg)
+                        if isinstance(self._eval_replay_cfg, dict) else {})
+                replay_budget = int(opts.get('max_bytes', 4 << 30))
+                if self._device_cache is not None:
+                    replay_budget -= self._device_cache.total_bytes
                 filling = []
         for (bidx, host_ids), raw in batch_source:
             if filling is not None:
-                filling.append(((bidx, host_ids), raw))
+                filled_bytes += sum(
+                    x.nbytes for x in jax.tree_util.tree_leaves(raw))
+                if filled_bytes > replay_budget:
+                    logging.warning(
+                        f'WW eval replay cache over budget '
+                        f'({filled_bytes / 2**30:.2f} GiB cached + train '
+                        f'device cache > max_bytes) — streaming every eval '
+                        f"instead (raise device_cache['max_bytes'] to "
+                        f'override)')
+                    filling = None
+                    self._eval_replay_cfg = None  # don't re-attempt
+                else:
+                    filling.append(((bidx, host_ids), raw))
             device_batch, full_boxes = self._augment(raw, train=False,
                                                      salt=bidx, with_full=True)
             # padding rows of the last partial batch carry id -1 and must not
@@ -1294,6 +1352,12 @@ class Experiment:
                 result.update(metrics_ops.coco_mean_average_precision(
                     preds_arr, all_gts,
                     verbose=self.process_index == 0, **coco_kwargs))
+        if self._int8_requested:
+            # an explicit --int8 request the measured regression gate
+            # refused must be visible in the run's OUTPUT (metrics/csv),
+            # not only a log line — 1.0 = quantized forward served this
+            # eval, 0.0 = fell back to float (export raises instead)
+            result['int8'] = float(self.int8)
         elapsed = time.time() - start
         logging.info(f'[eval] finished in {elapsed // 60:.0f}m '
                      f'{elapsed % 60:.0f}s: ' +
@@ -1378,6 +1442,16 @@ class Experiment:
         finally:
             stop.set()
             thread.join(timeout=30)
+            if thread.is_alive():
+                # a transfer wedged inside _shard (hung relay / the 2 s
+                # transient-retry path): the daemon thread may still
+                # complete a device_put concurrently with later work —
+                # surface it instead of returning silently
+                logging.warning(
+                    'WW transfer-ahead thread still alive 30 s after the '
+                    'consumer finished (device transfer wedged?) — a '
+                    'stale device_put may complete concurrently with '
+                    'subsequent work')
         if err:
             raise err[0]
 

@@ -92,3 +92,55 @@ def test_eval_replay_cache_matches_fresh_eval():
     fresh = exp2.evaluate()
     assert exp2._eval_cache is None  # knob off -> no retention
     assert fresh == first
+
+
+def test_eval_replay_decoupled_from_train_loader():
+    """--phases eval (no train loader) + eval.device_cache hits the replay
+    path: recurring evals on a trained checkpoint get the measured 9.6x
+    win without a train config knob (round-4 verdict #5)."""
+    cfg = load_config(SMOKE, phases=('eval',))
+    cfg.config.eval = {'device_cache': True}
+    exp = Experiment(cfg, phases=['eval'], debug=True)
+    assert 'train' not in exp.loaders
+    first = exp.evaluate()
+    assert exp._eval_cache, 'eval replay cache did not fill'
+    assert first == exp.evaluate()
+
+
+def test_eval_replay_over_budget_streams():
+    """The replay cache must refuse to grow past max_bytes (minus the
+    train cache's footprint) and fall back to streaming — an optimization
+    must never become an OOM (round-4 verdict #2)."""
+    cfg = load_config(SMOKE)
+    cfg.config.train['epochs'] = 0
+    cfg.config.train['device_cache'] = {'max_bytes': 1 << 10}  # tiny
+    exp = Experiment(cfg, phases=['train', 'eval'], debug=True)
+    # train cache itself is over budget -> disabled; replay budget = 1 MiB
+    assert exp._device_cache is None
+    first = exp.evaluate()
+    assert exp._eval_cache is None  # over budget -> streamed
+    assert exp._eval_replay_cfg is None  # no refill attempt on later evals
+    assert exp.evaluate() == first
+
+
+def test_eval_replay_budget_charges_train_cache():
+    """Replay shares the device-cache byte budget WITH the train cache:
+    a budget that fits the train cache but not train + eval must stream
+    evals while keeping the train cache."""
+    from single_shot_detection_tpu.data.device_cache import DeviceDatasetCache
+    cfg = load_config(SMOKE)
+    cfg.config.train['epochs'] = 1
+    cfg.config.train['eval_every'] = 1
+    exp_probe = Experiment(cfg, phases=['train'], debug=True)
+    train_bytes = DeviceDatasetCache(
+        exp_probe.loaders['train']).total_bytes
+    cfg2 = load_config(SMOKE)
+    cfg2.config.train['epochs'] = 1
+    cfg2.config.train['eval_every'] = 1
+    # fits the train cache, leaves < one eval batch of headroom
+    cfg2.config.train['device_cache'] = {'max_bytes': train_bytes + 1024}
+    exp = Experiment(cfg2, phases=['train', 'eval'], debug=True)
+    assert exp._device_cache is not None
+    exp.train()
+    assert exp._device_cache.ready
+    assert exp._eval_cache is None  # eval replay over the joint budget

@@ -94,8 +94,10 @@ digest = float(sum(float(jnp.sum(jnp.abs(x)))
                    for x in jax.tree_util.tree_leaves(exp.state.params)))
 with open(out_path, 'w') as f:
     json.dump({'train_loss': float(rows[-1]['train_loss']),
-               'eval_mAP': float(rows[-1]['eval_mAP']),
-               'digest': digest}, f)
+               'eval_mAP': float(rows[-1].get('eval_mAP', -1.0)),
+               'digest': digest,
+               'cache_ready': bool(exp._device_cache is not None
+                                   and exp._device_cache.ready)}, f)
 """
 
 
@@ -107,43 +109,64 @@ def _free_port():
     return port
 
 
-def _run_two_process_cluster(tmp_path, cfg_text):
+# failure signatures of the DISTRIBUTED RENDEZVOUS timing out on a loaded
+# host (Gloo's fixed connect deadline, the coordination-service barrier):
+# retryable — the program itself never ran
+_RENDEZVOUS_MARKERS = ('Timed out', 'DEADLINE_EXCEEDED', 'Gloo',
+                       'connectFullMesh', 'barrier')
+
+
+def _run_two_process_cluster(tmp_path, cfg_text, attempts=3):
     """Spawn the 2-process CPU cluster on cfg_text; return both ranks'
-    result dicts (asserting both exited 0)."""
+    result dicts (asserting both exited 0).
+
+    A loaded single-core host can miss Gloo's fixed 30 s rendezvous
+    deadline before the SPMD program even starts (ROUND4.md) — that
+    environmental failure mode is retried up to ``attempts`` times; real
+    program failures (no rendezvous marker in the log) fail immediately."""
     cfg_multi = tmp_path / 'cfg_multi.py'
     cfg_multi.write_text(cfg_text)
     worker = tmp_path / 'worker.py'
     worker.write_text(textwrap.dedent(WORKER))
 
-    port = _free_port()
     env = dict(os.environ)
     env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=4'
     env['PYTHONPATH'] = REPO + os.pathsep + env.get('PYTHONPATH', '')
 
-    procs = []
     outs = [tmp_path / f'out{r}.json' for r in range(2)]
     log_paths = [tmp_path / f'rank{r}.log' for r in range(2)]
-    # worker stdout goes to FILES, not pipes: with two interdependent SPMD
-    # processes, draining pipes one at a time can deadlock when the
-    # unread process fills its pipe buffer mid-collective
-    log_files = [open(p, 'w') for p in log_paths]
-    try:
-        for r in range(2):
-            procs.append(subprocess.Popen(
-                [sys.executable, str(worker), f'127.0.0.1:{port}', str(r),
-                 str(cfg_multi), str(outs[r])],
-                env=env, stdout=log_files[r], stderr=subprocess.STDOUT))
-        for p in procs:
-            p.wait(timeout=800)
-    finally:
-        for f in log_files:
-            f.close()
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
-    for r, p in enumerate(procs):
-        assert p.returncode == 0, (
-            f'rank {r} failed:\n{log_paths[r].read_text()[-4000:]}')
+    for attempt in range(attempts):
+        port = _free_port()
+        procs = []
+        # worker stdout goes to FILES, not pipes: with two interdependent
+        # SPMD processes, draining pipes one at a time can deadlock when
+        # the unread process fills its pipe buffer mid-collective
+        log_files = [open(p, 'w') for p in log_paths]
+        try:
+            for r in range(2):
+                procs.append(subprocess.Popen(
+                    [sys.executable, str(worker), f'127.0.0.1:{port}',
+                     str(r), str(cfg_multi), str(outs[r])],
+                    env=env, stdout=log_files[r], stderr=subprocess.STDOUT))
+            for p in procs:
+                p.wait(timeout=800)
+        finally:
+            for f in log_files:
+                f.close()
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        if all(p.returncode == 0 for p in procs):
+            break
+        logs = [lp.read_text()[-4000:] for lp in log_paths]
+        rendezvous_flake = any(m in log for m in _RENDEZVOUS_MARKERS
+                               for log in logs)
+        if rendezvous_flake and attempt < attempts - 1:
+            print(f'[multihost] rendezvous timed out (loaded host?) — '
+                  f'retry {attempt + 1}/{attempts - 1}')
+            continue
+        for r, p in enumerate(procs):
+            assert p.returncode == 0, f'rank {r} failed:\n{logs[r]}'
 
     results = [json.loads(o.read_text()) for o in outs]
     # both ranks run the same collective program: identical outcomes
@@ -180,6 +203,29 @@ def test_two_process_cpu_cluster_matches_single_process(tmp_path):
     assert results[0]['digest'] == pytest.approx(digest, rel=1e-5)
     assert results[0]['eval_mAP'] == pytest.approx(
         float(rows[-1]['eval_mAP']), abs=1e-3)
+
+
+def test_two_process_device_cache_bitwise(tmp_path):
+    """train.device_cache across 2 processes: each host stages only its
+    block of the row-sharded global cache, later epochs gather batches
+    with GLOBAL indices in one SPMD program (data/device_cache.py).  The
+    cached run must be BITWISE identical to 2-process host streaming —
+    same permutation, same global-batch layout, same train step
+    executable (round-4 verdict #3)."""
+    base = (CFG.replace('BATCH_SIZE_PLACEHOLDER', '4')
+            .replace('shuffle = False', 'shuffle = True')
+            .replace("'epochs': 1", "'epochs': 3")
+            .replace("'eval_every': 1", "'eval_every': 99"))
+    cached_cfg = base.replace("'max_gt': 4,",
+                              "'max_gt': 4, 'device_cache': True,")
+    assert 'device_cache' in cached_cfg
+    cached = _run_two_process_cluster(tmp_path, cached_cfg)
+    assert cached[0]['cache_ready'], 'device cache never became ready'
+    streamed = _run_two_process_cluster(tmp_path, base)
+    # bitwise: the gather path pins out_shardings to the transfer path's
+    # placement, so the SAME executable consumes identical batches
+    assert cached[0]['digest'] == streamed[0]['digest']
+    assert cached[0]['train_loss'] == streamed[0]['train_loss']
 
 
 def test_two_process_zero_sharding(tmp_path):

@@ -370,3 +370,35 @@ def test_unsupported_mappings_raise_clearly():
                                       'out_layers': (13, 18),
                                       'pyramid_layers': 6}},
         })
+
+
+def test_torchhub_offline_resolution(tmp_path):
+    """``torchhub://repo:model`` resolves OFFLINE: the model must be a
+    registry backbone, and pretrained weights come from a local torch-hub
+    cache's ``checkpoints/`` dir (parity: base_builder.py:60-63, minus the
+    runtime download — round-4 verdict #8)."""
+    import pytest
+    from single_shot_detection_tpu.models.builder import (create_base,
+                                                          resolve_torchhub)
+    ckpts = tmp_path / 'checkpoints'
+    ckpts.mkdir()
+    weight = ckpts / 'mobilenet_v2-b0353104.pth'
+    torch.save({'dummy': torch.zeros(1)}, str(weight))
+
+    name, w = resolve_torchhub('torchhub://pytorch/vision:mobilenet_v2',
+                               hub_dir=str(tmp_path))
+    assert name == 'mobilenet_v2'
+    assert w == str(weight)
+
+    # no local cache: the registry backbone still resolves, weights None
+    name2, w2 = resolve_torchhub('torchhub://pytorch/vision:mobilenet_v2',
+                                 hub_dir=str(tmp_path / 'missing'))
+    assert name2 == 'mobilenet_v2' and w2 is None
+
+    # the module itself builds through create_base
+    assert create_base('torchhub://pytorch/vision:mobilenet_v2',
+                       hub_dir=str(tmp_path)) is not None
+
+    # non-registry models keep the clear rejection
+    with pytest.raises(ValueError, match='torch-hub'):
+        resolve_torchhub('torchhub://some/repo:not_a_backbone')
