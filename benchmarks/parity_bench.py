@@ -52,7 +52,7 @@ ALIGNED = {
 }
 
 
-def build_from_config(path, dtype):
+def build_from_config(path, dtype, packed_stem=False):
     """Assemble bundle + criterion + assigner + tx + postprocessor from a
     sample config (the same calls Experiment.__init__ makes, engine.py:126-179,
     minus datasets/loaders)."""
@@ -69,8 +69,11 @@ def build_from_config(path, dtype):
     cfg = load_config(path, phases=[])
     model_cfg = dict(cfg.model)
     detector_cfg = dict(model_cfg['detector'])
+    base_cfg = dict(model_cfg['base'])
+    if packed_stem:
+        base_cfg['packed_stem'] = True
     bundle = builder.build(
-        base=model_cfg['base'],
+        base=base_cfg,
         anchor_generator=model_cfg['anchor_generator'],
         input_size=tuple(cfg.input_size),
         dtype=dtype,
@@ -97,14 +100,15 @@ def build_from_config(path, dtype):
 
 def bench_config(name, batch, dtype, steps, frozen_bn=False, int8=False,
                  group_norm=False, pre_nms_top_k=None, approx_top_k=False,
-                 recall_target=0.95, preset=False, infer_only=False):
+                 recall_target=0.95, preset=False, infer_only=False,
+                 packed_stem=False, fused_bn=False):
     from single_shot_detection_tpu.train import (create_train_state,
                                                  make_train_step)
     from single_shot_detection_tpu.train.step import make_predict_step
 
     path = os.path.join(ROOT, 'samples', name)
     cfg, bundle, criterion, assigner, postprocessor, tx = build_from_config(
-        path, dtype)
+        path, dtype, packed_stem=packed_stem)
     anchors = bundle.anchors()
     input_size = tuple(cfg.input_size)
     print(f'--- {name}: input {input_size}, batch {batch}, '
@@ -133,6 +137,11 @@ def bench_config(name, batch, dtype, steps, frozen_bn=False, int8=False,
               f'{" spatial_limit=%s" % int8_opts.get("spatial_limit") if int8_opts.get("spatial_limit") else ""}',
               flush=True)
     apply_fn = None
+    if fused_bn:
+        # train.fused_bn: Pallas fused train-mode BN (ops/bn_pallas.py);
+        # only shapes the TRAIN column — the predict path keeps plain BN
+        from single_shot_detection_tpu.ops import bn_pallas
+        apply_fn = bn_pallas.fused_bn_apply(bundle.module)
     if group_norm:
         if int8 or frozen_bn:
             # same contract the engine enforces: the int8 predict path
@@ -221,6 +230,10 @@ def bench_config(name, batch, dtype, steps, frozen_bn=False, int8=False,
         row['pre_nms_top_k'] = int(pre_nms_top_k)
         if approx_top_k:
             row['approx_top_k'] = True
+    if packed_stem:
+        row['packed_stem'] = True
+    if fused_bn:
+        row['fused_bn'] = True
     print(json.dumps(row), flush=True)
     return row
 
@@ -258,6 +271,13 @@ def main():
                          '(engine-level recipes, docs/SERVING.md)')
     ap.add_argument('--infer-only', action='store_true',
                     help='skip the train-step column (serving measurement)')
+    ap.add_argument('--packed-stem', action='store_true',
+                    help='evaluate VGG-family stems in the column-pair-'
+                         'packed layout (models/vgg.py packed_stem — '
+                         'full 128-lane tiles on the C=64 stem)')
+    ap.add_argument('--fused-bn', action='store_true',
+                    help='Pallas fused train-mode BatchNorm '
+                         '(train.fused_bn; ops/bn_pallas.py)')
     args = ap.parse_args()
     dtype = jnp.bfloat16 if args.dtype == 'bf16' else jnp.float32
 
@@ -282,14 +302,18 @@ def main():
         rows.append(_retry(bench_config, name, batch, dtype, args.steps,
                            frozen_bn=args.frozen_bn, int8=args.int8,
                            group_norm=args.group_norm, preset=args.preset,
-                           infer_only=args.infer_only, **pp_kw))
+                           infer_only=args.infer_only,
+                           packed_stem=args.packed_stem,
+                           fused_bn=args.fused_bn, **pp_kw))
         if (name in ALIGNED and not args.no_aligned and args.batch is None
                 and not args.infer_only):
             rows.append(_retry(bench_config, name, ALIGNED[name], dtype,
                                args.steps, frozen_bn=args.frozen_bn,
                                group_norm=args.group_norm,
                                int8=args.int8, preset=args.preset,
-                               infer_only=args.infer_only, **pp_kw))
+                               infer_only=args.infer_only,
+                               packed_stem=args.packed_stem,
+                               fused_bn=args.fused_bn, **pp_kw))
 
     print('\nconfig                      batch  train img/s   ms/step  infer img/s')
     for r in rows:

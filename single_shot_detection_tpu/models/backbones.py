@@ -80,7 +80,8 @@ def _register_all():
                 register(name, functools.partial(
                     lambda depth, bn, **kw: VGG(
                         config=VGG_CONFIGS[depth], use_bn=bn,
-                        **{k: v for k, v in kw.items() if k in ('axis_name', 'dtype')}),
+                        **{k: v for k, v in kw.items()
+                           if k in ('axis_name', 'dtype', 'packed_stem')}),
                     depth, bn))
     except ImportError:
         pass

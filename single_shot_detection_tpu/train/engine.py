@@ -517,7 +517,40 @@ class Experiment:
                     'frozen_bn is meaningless with it')
             self.gn_apply = _norm.group_norm_apply(self.bundle.module,
                                                    self.gn_groups)
+        # Pallas fused train-mode BN (train.fused_bn, beyond-parity):
+        # the four streaming kernels in ops/bn_pallas.py replace XLA's
+        # convert+reduce lowering of BN statistics and their gradients.
+        # Numerics pinned to flax BN (tests/test_bn_pallas.py).  TRAIN
+        # forward only — eval/export keep flax BN (use_running_average
+        # is elementwise, already optimally fused); single-device only
+        # (a pallas_call has no GSPMD partitioning rule — a sharded
+        # batch would be gathered around it).
+        self.fused_bn_apply = None
+        if train_cfg.get('fused_bn'):
+            from single_shot_detection_tpu.ops import bn_pallas
+            if self.qat_apply is not None or gn_cfg:
+                raise ValueError('train.fused_bn does not compose with '
+                                 'qat/group_norm (same trace-time '
+                                 'forward override)')
+            n_mesh = (devices and len(devices)) or jax.device_count()
+            if n_mesh > 1 or process_count > 1:
+                logging.warning('WW train.fused_bn is single-device only '
+                                '(pallas has no GSPMD partitioning rule);'
+                                ' keeping flax BN')
+            elif not bn_pallas.available():
+                logging.warning('WW train.fused_bn: pallas unavailable on '
+                                'this backend; keeping flax BN')
+            else:
+                logging.warning(
+                    'WW train.fused_bn was measured SLOWER than flax BN '
+                    'on vgg300 (208 vs 477 img/s): the pallas custom '
+                    'call forces relayouts out of XLA\'s tiled convnet '
+                    'layout (docs/PERF.md round-5). Kept as an opt-in '
+                    'for profiling/research.')
+                self.fused_bn_apply = bn_pallas.fused_bn_apply(
+                    self.bundle.module)
         # the one trace-time forward override steps/export should use
+        # (fused_bn is TRAIN-only: eval/predict/export keep plain BN)
         self.apply_override = self.qat_apply or self.gn_apply
 
         def _init_variables():
@@ -755,7 +788,8 @@ class Experiment:
                 f'{self.pipeline_microbatches} microbatches '
                 f'(bubble fraction '
                 f'{(self.pipeline_stages - 1) / (self.pipeline_microbatches + self.pipeline_stages - 1):.0%})')
-        train_apply = self.pipeline_apply or self.apply_override
+        train_apply = (self.pipeline_apply or self.fused_bn_apply
+                       or self.apply_override)
         # the pipelined forward is train=False by construction; reuse the
         # frozen-BN step branch (group_norm makes the flag a no-op anyway)
         step_frozen_bn = self.frozen_bn or self.pipeline_apply is not None
