@@ -42,7 +42,6 @@ Reference analog: the cuDNN batch-norm kernels behind
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
