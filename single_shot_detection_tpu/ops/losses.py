@@ -192,6 +192,68 @@ class BCEWithLogitsLoss(_Loss):
         return _masked_reduce(per_row, mask, self.reduction)
 
 
+class BCELoss(_Loss):
+    """Binary cross entropy on PROBABILITIES (parity: torch ``F.binary_
+    cross_entropy`` via the reference's blanket re-export, losses.py:4).
+    Like torch, each log term is clamped at -100 so exact 0/1 inputs
+    yield finite losses."""
+
+    def __call__(self, probs, target, mask=None):
+        log_p = jnp.maximum(jnp.log(probs), -100.0)
+        log_1p = jnp.maximum(jnp.log1p(-probs), -100.0)
+        per_elem = -(target * log_p + (1.0 - target) * log_1p)
+        per_row = jnp.sum(per_elem, axis=-1)
+        if mask is None:
+            mask = jnp.ones(per_row.shape, dtype=bool)
+        return _masked_reduce(per_row, mask, self.reduction)
+
+
+class KLDivLoss(_Loss):
+    """Pointwise KL divergence, input = log-probabilities (parity: torch
+    ``F.kl_div`` with ``log_target=False``): ``t * (log t - x)`` with the
+    ``0 * log 0 = 0`` convention."""
+
+    def __call__(self, log_pred, target, mask=None):
+        safe_log_t = jnp.where(target > 0, jnp.log(jnp.maximum(target, 1e-38)),
+                               0.0)
+        per_elem = jnp.where(target > 0, target * (safe_log_t - log_pred),
+                             0.0)
+        per_row = jnp.sum(per_elem, axis=-1)
+        if mask is None:
+            mask = jnp.ones(per_row.shape, dtype=bool)
+        return _masked_reduce(per_row, mask, self.reduction)
+
+
+class PoissonNLLLoss(_Loss):
+    """Poisson negative log likelihood (parity: torch ``F.poisson_nll_loss``
+    defaults ``log_input=True, full=False``): ``exp(x) - t * x``."""
+
+    def __init__(self, log_input: bool = True, full: bool = False, **kwargs):
+        super().__init__(**kwargs)
+        if not log_input or full:
+            raise NotImplementedError(
+                'PoissonNLLLoss: only the torch defaults '
+                '(log_input=True, full=False) are implemented')
+
+    def __call__(self, log_pred, target, mask=None):
+        per_row = jnp.sum(jnp.exp(log_pred) - target * log_pred, axis=-1)
+        if mask is None:
+            mask = jnp.ones(per_row.shape, dtype=bool)
+        return _masked_reduce(per_row, mask, self.reduction)
+
+
+class SoftMarginLoss(_Loss):
+    """Two-class logistic margin loss (parity: torch ``F.soft_margin_loss``):
+    ``log(1 + exp(-y * x))`` with labels in {-1, +1}; computed as
+    ``softplus(-y * x)`` for stability."""
+
+    def __call__(self, pred, target, mask=None):
+        per_row = jnp.sum(jax.nn.softplus(-target * pred), axis=-1)
+        if mask is None:
+            mask = jnp.ones(per_row.shape, dtype=bool)
+        return _masked_reduce(per_row, mask, self.reduction)
+
+
 class SigmoidFocalLoss(_Loss):
     """Multi-hot sigmoid focal loss (parity: losses.py:34-54)."""
 
@@ -298,6 +360,10 @@ LOSSES = {
     'HuberLoss': HuberLoss,
     'NLLLoss': NLLLoss,
     'BCEWithLogitsLoss': BCEWithLogitsLoss,
+    'BCELoss': BCELoss,
+    'KLDivLoss': KLDivLoss,
+    'PoissonNLLLoss': PoissonNLLLoss,
+    'SoftMarginLoss': SoftMarginLoss,
     'SigmoidFocalLoss': SigmoidFocalLoss,
     'SoftmaxFocalLoss': SoftmaxFocalLoss,
     'CrossEntropyWithSoftTargetsLoss': CrossEntropyWithSoftTargetsLoss,

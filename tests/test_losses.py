@@ -267,7 +267,62 @@ def test_build_loss_unknown_name_lists_supported():
     import pytest
     from single_shot_detection_tpu.ops.losses import build_loss
     with pytest.raises(KeyError, match='Supported names'):
-        build_loss('KLDivLoss')
+        build_loss('MarginRankingLoss')  # two-input contract: out of scope
     # the newly added torch names construct through the config factory
-    for name in ('HuberLoss', 'NLLLoss', 'BCEWithLogitsLoss'):
+    for name in ('HuberLoss', 'NLLLoss', 'BCEWithLogitsLoss', 'KLDivLoss'):
         assert build_loss(name, reduction='sum') is not None
+
+
+def test_bce_loss_matches_torch(rng):
+    probs = rng.rand(6, 4).astype(np.float32)
+    probs[0, 0], probs[1, 1] = 0.0, 1.0  # clamp path (torch clamps at -100)
+    target = (rng.rand(6, 4) > 0.5).astype(np.float32)
+    ours = losses.BCELoss(reduction='sum')(jnp.asarray(probs),
+                                           jnp.asarray(target))
+    ref = F.binary_cross_entropy(torch.tensor(probs), torch.tensor(target),
+                                 reduction='sum')
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-4)
+
+
+def test_kldiv_loss_matches_torch(rng):
+    logits = rng.randn(6, 5).astype(np.float32)
+    log_pred = np.asarray(jnp.asarray(logits)
+                          - jnp.log(jnp.sum(jnp.exp(logits), -1,
+                                            keepdims=True)))
+    target = rng.rand(6, 5).astype(np.float32)
+    target /= target.sum(-1, keepdims=True)
+    target[2, 3] = 0.0  # the 0*log0 = 0 convention
+    ours = losses.KLDivLoss(reduction='sum')(jnp.asarray(log_pred),
+                                             jnp.asarray(target))
+    ref = F.kl_div(torch.tensor(log_pred), torch.tensor(target),
+                   reduction='sum')
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-4)
+
+
+def test_poisson_nll_loss_matches_torch(rng):
+    log_pred = rng.randn(6, 4).astype(np.float32)
+    target = rng.poisson(3.0, size=(6, 4)).astype(np.float32)
+    ours = losses.PoissonNLLLoss(reduction='sum')(jnp.asarray(log_pred),
+                                                  jnp.asarray(target))
+    ref = F.poisson_nll_loss(torch.tensor(log_pred), torch.tensor(target),
+                             log_input=True, full=False, reduction='sum')
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-4)
+
+    import pytest
+    with pytest.raises(NotImplementedError):
+        losses.PoissonNLLLoss(log_input=False)
+
+
+def test_soft_margin_loss_matches_torch(rng):
+    pred = rng.randn(6, 4).astype(np.float32) * 3
+    target = np.sign(rng.randn(6, 4)).astype(np.float32)
+    ours = losses.SoftMarginLoss(reduction='sum')(jnp.asarray(pred),
+                                                  jnp.asarray(target))
+    ref = F.soft_margin_loss(torch.tensor(pred), torch.tensor(target),
+                             reduction='sum')
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-4)
+
+
+def test_new_losses_in_registry():
+    for name in ('BCELoss', 'KLDivLoss', 'PoissonNLLLoss', 'SoftMarginLoss'):
+        assert losses.build_loss(name, reduction='sum') is not None
