@@ -142,6 +142,7 @@ def _run_two_process_cluster(tmp_path, cfg_text, attempts=3):
         # SPMD processes, draining pipes one at a time can deadlock when
         # the unread process fills its pipe buffer mid-collective
         log_files = [open(p, 'w') for p in log_paths]
+        timed_out = False
         try:
             for r in range(2):
                 procs.append(subprocess.Popen(
@@ -149,22 +150,31 @@ def _run_two_process_cluster(tmp_path, cfg_text, attempts=3):
                      str(r), str(cfg_multi), str(outs[r])],
                     env=env, stdout=log_files[r], stderr=subprocess.STDOUT))
             for p in procs:
-                p.wait(timeout=800)
+                try:
+                    # hang backstop only: a quiet host finishes in
+                    # ~200-400 s; a saturated single core can legitimately
+                    # need far longer (each worker wants ~500 s of CPU)
+                    p.wait(timeout=2400)
+                except subprocess.TimeoutExpired:
+                    timed_out = True
+                    break
         finally:
             for f in log_files:
                 f.close()
             for p in procs:
                 if p.poll() is None:
                     p.kill()
-        if all(p.returncode == 0 for p in procs):
+        if not timed_out and all(p.returncode == 0 for p in procs):
             break
         logs = [lp.read_text()[-4000:] for lp in log_paths]
-        rendezvous_flake = any(m in log for m in _RENDEZVOUS_MARKERS
-                               for log in logs)
+        rendezvous_flake = timed_out or any(
+            m in log for m in _RENDEZVOUS_MARKERS for log in logs)
         if rendezvous_flake and attempt < attempts - 1:
-            print(f'[multihost] rendezvous timed out (loaded host?) — '
-                  f'retry {attempt + 1}/{attempts - 1}')
+            print(f'[multihost] cluster run timed out / rendezvous failed '
+                  f'(loaded host?) — retry {attempt + 1}/{attempts - 1}')
             continue
+        assert not timed_out, (
+            f'cluster wait expired (saturated host?):\n{logs[0][-2000:]}')
         for r, p in enumerate(procs):
             assert p.returncode == 0, f'rank {r} failed:\n{logs[r]}'
 
