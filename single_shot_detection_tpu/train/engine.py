@@ -1059,6 +1059,18 @@ class Experiment:
                 raise
             logging.warning(f'WW async checkpoint write failed: {exc}')
 
+    def _host_lr(self, opt_step: int) -> float:
+        """Evaluate the lr schedule for the progress display on the HOST
+        CPU backend: optax schedules are eager jnp math, so evaluating
+        them on the default (TPU) device costs a device round trip per
+        epoch — pure display overhead through a relay-attached chip."""
+        try:
+            cpu = jax.local_devices(backend='cpu')[0]
+            with jax.default_device(cpu):
+                return float(self.lr_schedule(opt_step))
+        except Exception:  # no CPU backend initialised — pay the trip
+            return float(self.lr_schedule(opt_step))
+
     def _epoch_batches(self, loader, num_batches, epoch):
         """One epoch's batch loop; returns (train-metrics row, step count)."""
         # pin the loader's shuffle epoch (torch DistributedSampler.set_epoch
@@ -1076,8 +1088,12 @@ class Experiment:
         # every float()/device_get below is a host<->device sync that
         # stalls the dispatch pipeline (expensive through a TPU relay) —
         # the progress line is therefore wall-clock throttled and the lr
-        # is computed once per epoch
-        last_print = 0.0
+        # is computed once per epoch.  Seeded to NOW, not 0: a 0 seed made
+        # the FIRST step of every epoch print (and sync) unconditionally,
+        # which stalls the dispatch pipeline one step into each epoch —
+        # on 8-step device-cached epochs that sync was a measurable share
+        # of the whole epoch
+        last_print = time.time()
         lr_value = None
 
         step_idx = 0
@@ -1130,14 +1146,18 @@ class Experiment:
             count += n
             step_idx += n
             now = time.time()
-            if self.process_index == 0 and (now - last_print > 1.0
-                                            or step_idx >= num_batches):
+            if self.process_index == 0 and now - last_print > 1.0:
+                # mid-epoch only: the END-of-epoch line below reuses the
+                # epoch's single metric_sums pull instead of forcing an
+                # extra last-step sync — on short device-cached epochs
+                # (8 steps at b128) each relay round trip is a measurable
+                # share of the epoch (docs/PERF.md round-5)
                 last_print = now
                 if lr_value is None:
                     opt_step = ((epoch * num_batches + step_idx)
                                 // self.accumulation_steps)
                     scale = self.plateau.scale if self.plateau else 1.0
-                    lr_value = float(self.lr_schedule(opt_step)) * scale
+                    lr_value = self._host_lr(opt_step) * scale
                 # ONE stacked pull = one host<->device round trip
                 vals = jax.device_get(jnp.stack(
                     [metrics['loss'], metrics['class_loss'],
@@ -1165,6 +1185,22 @@ class Experiment:
         for k in ('loss', 'class_loss', 'loc_loss'):
             row[f'train_{k}'] = (float(pulled[k]) / max(count, 1)
                                  if pulled else 0.0)
+        if self.process_index == 0 and count:
+            # end-of-epoch progress line from the epoch MEANS — served by
+            # the metric_sums pull above, so the epoch ends on exactly one
+            # host<->device round trip (the throttled mid-epoch prints are
+            # unchanged)
+            if lr_value is None:
+                opt_step = ((epoch * num_batches + step_idx)
+                            // self.accumulation_steps)
+                scale = self.plateau.scale if self.plateau else 1.0
+                lr_value = self._host_lr(opt_step) * scale
+            print(f'\r[train] epoch {epoch} step {step_idx}/{num_batches} '
+                  f"loss {row['train_loss']:.4f} "
+                  f"(cls {row['train_class_loss']:.4f} "
+                  f"loc {row['train_loc_loss']:.4f}) "
+                  f'lr {lr_value:.6f}',
+                  end='', flush=True)
         return row, count
 
     # ------------------------------------------------------------------- eval

@@ -144,3 +144,30 @@ def test_eval_replay_budget_charges_train_cache():
     exp.train()
     assert exp._device_cache.ready
     assert exp._eval_cache is None  # eval replay over the joint budget
+
+
+def test_cached_epoch_single_device_sync(monkeypatch):
+    """A device-cached epoch must pay exactly ONE host<->device pull
+    (the metric_sums pull): the progress-print syncs (a forced first-step
+    print from the zero throttle seed + a forced last-step print) were
+    measured at +31% e2e at b128 / +153% at b32 through the relay
+    (docs/PERF.md round-5 "Per-epoch sync discipline")."""
+    exp, _ = _run(device_cache=True, epochs=2)
+    assert exp._device_cache.ready
+
+    from single_shot_detection_tpu.train import engine as engine_mod
+
+    class _FrozenTime:
+        """time stub: throttled prints can never fire (now - last == 0)."""
+        @staticmethod
+        def time():
+            return 1000.0
+
+    monkeypatch.setattr(engine_mod, 'time', _FrozenTime)
+    pulls = []
+    real_get = jax.device_get
+    monkeypatch.setattr(engine_mod.jax, 'device_get',
+                        lambda x: pulls.append(1) or real_get(x))
+    loader = exp.loaders['train']
+    exp._epoch_batches(loader, len(loader), epoch=2)
+    assert sum(pulls) == 1
